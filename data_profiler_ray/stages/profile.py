@@ -1,0 +1,159 @@
+"""Distributed table profiling: one streaming pass, tree-merged accumulators.
+
+Replaces the reference's whole-file pandas loop
+(``/root/reference/stelardataprofiler/tabular_timeseries/profiler.py:329-403``)
+with the Ray-Data-native shape from SURVEY.md §3.4:
+
+    read_parquet → map_batches(partial accumulators, batch_format="pyarrow")
+        → groupby(shard).map_groups(merge)  [tree reduction]
+        → driver merge of ≤merge_shards tiny states → profile dict
+
+Each block contributes ONE small row holding the pickled accumulator bundle
+(a few KB per column: moments + KLL + HLL + capped counter), so the shuffle
+volume of the reduction is o(input) regardless of data size. The final
+profile dict has the reference's three-part shape
+(``analysis`` / ``table`` / ``variables``, profiler.py:343-362).
+"""
+
+from __future__ import annotations
+
+import datetime
+import pickle
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import ProfileConfig
+from ..state.column import ColumnAccumulator, make_accumulator
+
+_SHARD_COUNTER = 0
+
+
+class _PartialProfiler:
+    """map_batches callable: fold one Arrow batch into fresh accumulators and
+    emit a single serialized-state row."""
+
+    def __init__(self, schema: pa.Schema, config: ProfileConfig):
+        self.schema = schema
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        global _SHARD_COUNTER
+        accs: dict[str, ColumnAccumulator] = {}
+        cols = self.config.columns or self.schema.names
+        for name in cols:
+            fld = self.schema.field(name)
+            acc = make_accumulator(fld, text_stats=self.config.text_stats
+                                   and not self.config.light_mode)
+            acc.update(batch.column(name))
+            accs[name] = acc
+        _SHARD_COUNTER += 1
+        payload = pickle.dumps((len(batch), accs), protocol=pickle.HIGHEST_PROTOCOL)
+        return pa.table({
+            "rows": pa.array([len(batch)], type=pa.int64()),
+            "state": pa.array([payload], type=pa.large_binary()),
+        })
+
+
+def _merge_states(blobs: list[bytes]) -> tuple[int, dict[str, ColumnAccumulator]]:
+    total_rows = 0
+    merged: dict[str, ColumnAccumulator] = {}
+    for blob in blobs:
+        rows, accs = pickle.loads(blob)
+        total_rows += rows
+        for name, acc in accs.items():
+            if name in merged:
+                merged[name].merge(acc)
+            else:
+                merged[name] = acc
+    return total_rows, merged
+
+
+def _merge_group(batch: pa.Table) -> pa.Table:
+    rows, merged = _merge_states(batch.column("state").to_pylist())
+    payload = pickle.dumps((rows, merged), protocol=pickle.HIGHEST_PROTOCOL)
+    return pa.table({
+        "rows": pa.array([rows], type=pa.int64()),
+        "state": pa.array([payload], type=pa.large_binary()),
+    })
+
+
+def profile_dataset(ds: "ray.data.Dataset", config: ProfileConfig | None = None,
+                    filenames: list[str] | None = None) -> dict:
+    """Profile a Dataset into the reference-shaped dict."""
+    config = config or ProfileConfig()
+    t0 = datetime.datetime.now()
+    schema = ds.schema()
+    arrow_schema = pa.schema([pa.field(n, t) for n, t in
+                              zip(schema.names, schema.types)])
+    if config.columns:
+        ds = ds.select_columns([c for c in config.columns])
+
+    partials = ds.map_batches(
+        _PartialProfiler(arrow_schema, config),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+    # tree reduction: a second map_batches coalesces up to merge_shards
+    # partial-state rows per task (batch_size spans block boundaries, no
+    # shuffle/sort op needed), then a tiny driver-side final merge. Shuffle
+    # volume is o(input): each partial row is a few KB of sketch state per
+    # column regardless of block size.
+    reduced = partials.map_batches(_merge_group, batch_format="pyarrow",
+                                   batch_size=max(config.merge_shards, 2))
+    final_blobs = [r["state"] for r in reduced.take_all()]
+    total_rows, merged = _merge_states(final_blobs)
+    if not merged:  # empty input: still emit one typed variable per column
+        cols = config.columns or arrow_schema.names
+        merged = {n: make_accumulator(arrow_schema.field(n),
+                                      text_stats=config.text_stats)
+                  for n in cols}
+    return finalize_profile(total_rows, merged, config, t0,
+                            filenames=filenames or [])
+
+
+def finalize_profile(total_rows: int, merged: dict[str, ColumnAccumulator],
+                     config: ProfileConfig, t0: datetime.datetime,
+                     filenames: list[str]) -> dict:
+    """Assemble the reference's {analysis, table, variables} shape
+    (profiler.py:343-367) + table stats A3 (variables/utils.py:434-478)."""
+    variables = []
+    for name, acc in merged.items():
+        var = acc.result()
+        if config.types_dict and name in config.types_dict:
+            var["type"] = config.types_dict[name]  # user override (profiler.py:338-339)
+        variables.append(var)
+
+    n_cells_missing = sum(v["num_missing"] for v in variables)
+    n_vars_missing = sum(1 for v in variables if v["num_missing"] > 0)
+    n_vars_all_missing = sum(1 for v in variables if v["count"] == 0)
+    memory = sum(v["memory_size"] for v in variables)
+    type_counts: dict[str, int] = {}
+    for v in variables:
+        type_counts[v["type"]] = type_counts.get(v["type"], 0) + 1
+    n_attrs = len(variables)
+    t1 = datetime.datetime.now()
+    return {
+        "analysis": {
+            "title": config.title,
+            "date_start": t0.isoformat(),
+            "date_end": t1.isoformat(),
+            "duration": str(t1 - t0),
+            "filenames": filenames,
+        },
+        "table": {
+            "profiler_type": "Tabular",
+            "num_rows": total_rows,
+            "num_attributes": n_attrs,
+            "memory_size": memory,
+            "record_size": (memory / total_rows) if total_rows else 0.0,
+            "n_cells_missing": n_cells_missing,
+            "p_cells_missing": (n_cells_missing / (total_rows * n_attrs)
+                                if total_rows and n_attrs else 0.0),
+            "n_vars_with_missing": n_vars_missing,
+            "n_vars_all_missing": n_vars_all_missing,
+            "types": [{"type": k, "count": c} for k, c in sorted(type_counts.items())],
+        },
+        "variables": variables,
+    }

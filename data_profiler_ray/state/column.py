@@ -1,0 +1,645 @@
+"""Per-column mergeable profile accumulators.
+
+One accumulator instance per column per Ray Data block; instances merge
+associatively in a tree reduction. Together they reproduce the reference
+profiler's per-variable stat families (SURVEY.md §2.5):
+
+- generic stats A1/A2 (``variables/utils.py:115-191``): counts, missing,
+  distinct, unique, value frequencies;
+- numeric moments + describe A4/A5 (``utils.py:540-582``, ``numeric.py:13-79``);
+- histogram A6 (``utils.py:507-529``): exact reference semantics (numpy bin
+  edges over distinct values weighted by counts) while cardinality is exact,
+  sketch-backed equal-width bins at scale;
+- top-K frequency A7/A8 (``utils.py:497-504``, ``numeric.py:88-103``);
+- boolean A9 / categorical A10 (``variables/boolean.py``, ``categorical.py``);
+- datetime A11 (``variables/datetime.py:5-39``);
+- textual A12 (``variables/textual.py:15-150``): char/word length
+  distributions and char-class ratios;
+- logical type detection replicating ``find_types``
+  (``variables/utils.py:288-430``) as mergeable all-batch probes instead of
+  whole-column pandas scans.
+
+Input is a ``pyarrow.Array``/``ChunkedArray`` slice of the block — zero-copy
+from the object store; all per-batch work is Arrow/numpy kernels.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hll import HLLSketch, hash64
+from .kll import KLLSketch, weighted_quantile
+from .moments import MomentsState
+from .topk import TopKCounter
+
+# logical types, mirroring README.md:31-45 of the reference
+UNSUPPORTED = "Unsupported"
+DATETIME = "DateTime"
+GEOMETRY = "Geometry"
+CATEGORICAL = "Categorical"
+TEXTUAL = "Textual"
+NUMERIC = "Numeric"
+BOOLEAN = "Boolean"
+TIMESERIES = "TimeSeries"
+
+BOOL_WORDS = {"t", "f", "yes", "no", "y", "n", "true", "false"}  # utils.py:232-250
+_WKT_RE = re.compile(
+    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|"
+    r"GEOMETRYCOLLECTION)\s*\(", re.IGNORECASE)
+
+NUM_CAT_MAX_UNIQUE = 5        # numeric -> categorical rule, utils.py:332-341
+NUM_CAT_PERC_THRESHOLD = 0.5
+
+
+def _combine_chunks(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+class ColumnAccumulator:
+    """Base: null/total bookkeeping shared by every column kind."""
+
+    kind = "base"
+
+    def __init__(self, name: str):
+        self.name = name
+        self.n = 0
+        self.n_missing = 0
+        self.memory_bytes = 0
+        self.samples: list = []
+
+    def _pre(self, arr: pa.Array) -> pa.Array:
+        self.n += len(arr)
+        self.n_missing += arr.null_count
+        self.memory_bytes += arr.nbytes
+        valid = arr.drop_null()
+        if len(self.samples) < 5 and len(valid):
+            need = 5 - len(self.samples)
+            self.samples.extend(valid.slice(0, need).to_pylist())
+        return valid
+
+    def _merge_base(self, other: "ColumnAccumulator") -> None:
+        self.n += other.n
+        self.n_missing += other.n_missing
+        self.memory_bytes += other.memory_bytes
+        if len(self.samples) < 5:
+            self.samples.extend(other.samples[: 5 - len(self.samples)])
+
+    def _base_result(self) -> dict:
+        n = self.n
+        return {
+            "name": self.name,
+            "count": n - self.n_missing,
+            "n": n,
+            "num_missing": self.n_missing,
+            "p_missing": (self.n_missing / n) if n else 0.0,
+            "memory_size": self.memory_bytes,
+            "samples": self.samples,
+        }
+
+    # fallback behavior for unsupported physical types: counts only
+    def update(self, arr) -> None:
+        self._pre(_combine_chunks(arr))
+
+    def merge(self, other: "ColumnAccumulator") -> None:
+        self._merge_base(other)
+
+    def result(self) -> dict:
+        out = self._base_result()
+        out["type"] = UNSUPPORTED
+        return out
+
+
+class _DistinctMixin:
+    """Exact-while-small counter + HLL, giving A2's distinct/unique fields."""
+
+    def _init_distinct(self, topk_cap: int = 262_144):
+        self.counter = TopKCounter(cap=topk_cap)
+        self.hll = HLLSketch()
+
+    def _update_distinct(self, valid: pa.Array) -> None:
+        if len(valid) == 0:
+            return
+        vc = valid.value_counts()
+        vals = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        self.hll.update(np.asarray(vals, dtype=object))
+        key_cap = getattr(self, "_LONG_KEY", 0)
+        if key_cap:
+            import hashlib
+            vals = [v if not isinstance(v, str) or len(v) <= key_cap
+                    else v[:key_cap - 16] + hashlib.md5(v.encode()).hexdigest()[:16]
+                    for v in vals]
+        self.counter.update_counts(vals, counts)
+
+    def _merge_distinct(self, other) -> None:
+        self.counter.merge(other.counter)
+        self.hll.merge(other.hll)
+
+    def _distinct_result(self) -> dict:
+        count = self.n - self.n_missing
+        counter_exact = not self.counter.overflowed
+        n_distinct = (self.counter.n_distinct() if counter_exact
+                      else self.hll.estimate())
+        n_unique = self.counter.n_unique()
+        return {
+            "n_distinct": n_distinct,
+            "p_distinct": (n_distinct / count) if count else 0.0,
+            "n_unique": n_unique,
+            "p_unique": (n_unique / count) if count else 0.0,
+            "is_unique": n_unique == n_distinct and count > 0 and n_distinct == count,
+            # n_distinct is exact if either structure is still in exact mode
+            "distinct_is_exact": counter_exact or self.hll.is_exact,
+        }
+
+
+def _reference_histogram(counter: TopKCounter, moments: MomentsState,
+                         kll: KLLSketch, bins_cap: int = 250) -> dict | None:
+    """Histogram per utils.py:507-529: edges from np.histogram_bin_edges over
+    the distinct values, counts weighted by frequency. Exact when the counter
+    is exact; otherwise equal-width bins from merged min/max with counts
+    estimated from the KLL CDF."""
+    if moments.n == 0:
+        return None
+    if not counter.overflowed and counter.n_distinct() > 0:
+        keys = np.array([float(k) for k in counter.counts.keys()], dtype=np.float64)
+        wts = np.array([counter.counts[k] for k in counter.counts.keys()], dtype=np.float64)
+        n_bins = min(50, len(keys)) if len(keys) < 250 else bins_cap
+        edges = np.histogram_bin_edges(keys, bins=n_bins)
+        hist, _ = np.histogram(keys, bins=edges, weights=wts)
+        return {"counts": hist.astype(int).tolist(), "bin_edges": edges.tolist()}
+    # sketch path: 50 equal-width bins over [min, max], counts from KLL CDF
+    lo, hi = moments.vmin, moments.vmax
+    if not (math.isfinite(lo) and math.isfinite(hi)) or lo == hi:
+        return {"counts": [moments.n], "bin_edges": [lo, hi]}
+    edges = np.linspace(lo, hi, 51)
+    v, w = kll._weighted_items()
+    if v.size == 0:
+        return None
+    idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, 49)
+    hist = np.bincount(idx, weights=w, minlength=50)
+    scale = moments.n / max(w.sum(), 1.0)
+    return {"counts": (hist * scale).round().astype(int).tolist(),
+            "bin_edges": edges.tolist()}
+
+
+class NumericAccumulator(ColumnAccumulator, _DistinctMixin):
+    """Numeric columns: A4+A5+A6+A7+A8 bundles."""
+
+    kind = "numeric"
+
+    def __init__(self, name: str, ts_mode: bool = False):
+        super().__init__(name)
+        self._init_distinct()
+        self.moments = MomentsState()
+        self.kll = KLLSketch()
+        self.ts_mode = ts_mode
+
+    def update(self, arr) -> None:
+        arr = _combine_chunks(arr)
+        if pa.types.is_floating(arr.type):
+            # NaN counts as missing, matching the reference's pandas dropna
+            # semantics (variables/utils.py:157-191)
+            arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type), arr)
+        valid = self._pre(arr)
+        if len(valid) == 0:
+            return
+        x = valid.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        self.moments.update(x)
+        self.kll.update(x)
+        self._update_distinct(valid)
+
+    def merge(self, other: "NumericAccumulator") -> None:
+        self._merge_base(other)
+        self._merge_distinct(other)
+        self.moments.merge(other.moments)
+        self.kll.merge(other.kll)
+
+    def logical_type(self) -> str:
+        # numeric -> categorical rule (utils.py:332-341,372-387)
+        d = self._distinct_result()
+        count = self.n - self.n_missing
+        if count == 0:
+            return UNSUPPORTED
+        if (not self.counter.overflowed
+                and 1 <= d["n_distinct"] <= NUM_CAT_MAX_UNIQUE
+                and d["p_unique"] < NUM_CAT_PERC_THRESHOLD):
+            return CATEGORICAL
+        return NUMERIC
+
+    def _quantile_bundle(self) -> dict:
+        """Percentile bundle A5: exact weighted quantiles from the value
+        counter while cardinality is exact (parity with the reference's
+        ``series.quantile``, numeric.py:46-51), KLL sketch beyond."""
+        if not self.counter.overflowed and self.counter.n_distinct():
+            keys = np.array([float(k) for k in self.counter.counts.keys()])
+            wts = np.array([float(c) for c in self.counter.counts.values()])
+            p = weighted_quantile(keys, wts, [0.05, 0.10, 0.25, 0.5, 0.75, 0.90, 0.95])
+            return {"5%": p[0], "10%": p[1], "25%": p[2], "50%": p[3],
+                    "75%": p[4], "90%": p[5], "95%": p[6],
+                    "median": p[3], "iqr": p[4] - p[2]}
+        return self.kll.result()
+
+    def _median(self) -> float:
+        if not self.counter.overflowed and self.counter.n_distinct():
+            keys = np.array([float(k) for k in self.counter.counts.keys()])
+            wts = np.array([float(c) for c in self.counter.counts.values()])
+            return float(weighted_quantile(keys, wts, 0.5)[0])
+        return self.kll.median()
+
+    def _mad(self) -> float | None:
+        """Median absolute deviation (utils.py:532-537): exact from the value
+        counter when possible, else estimated from KLL sketch contents."""
+        med = self._median()
+        if not self.counter.overflowed and self.counter.n_distinct():
+            keys = np.array([float(k) for k in self.counter.counts.keys()])
+            wts = np.array([float(c) for c in self.counter.counts.values()])
+            return float(weighted_quantile(np.abs(keys - med), wts, 0.5)[0])
+        v, w = self.kll._weighted_items()
+        if v.size == 0:
+            return None
+        return float(weighted_quantile(np.abs(v - med), w, 0.5)[0])
+
+    def result(self) -> dict:
+        out = self._base_result()
+        out.update(self._distinct_result())
+        out.update(self.moments.result())
+        count = self.n - self.n_missing
+        if count:
+            out.update(self._quantile_bundle())
+            out["mad"] = self._mad()
+            out["cv"] = (self.moments.std / self.moments.mean
+                         if self.moments.n >= 2 and self.moments.mean else None)
+            out["p_zeros"] = self.moments.n_zeros / count
+            out["p_negative"] = self.moments.n_negative / count
+            out["p_infinite"] = self.moments.n_infinite / count
+            out["histogram"] = _reference_histogram(self.counter, self.moments, self.kll)
+            first, last = self.counter.extremes(5)
+            out["5_min_values"] = [{"value": v, "count": c} for v, c in first]
+            out["5_max_values"] = [{"value": v, "count": c} for v, c in reversed(last)]
+            out["freq_value_counts"] = self.counter.freq_distribution(10)
+        out["type"] = self.logical_type()
+        return out
+
+
+class BooleanAccumulator(ColumnAccumulator):
+    """Boolean columns: value counts without NaN (variables/boolean.py:4-11)."""
+
+    kind = "boolean"
+
+    def __init__(self, name: str):
+        super().__init__(name)
+        self.n_true = 0
+        self.n_false = 0
+
+    def update(self, arr) -> None:
+        arr = _combine_chunks(arr)
+        valid = self._pre(arr)
+        if len(valid):
+            t = int(pc.sum(valid.cast(pa.int64())).as_py() or 0)
+            self.n_true += t
+            self.n_false += len(valid) - t
+
+    def merge(self, other: "BooleanAccumulator") -> None:
+        self._merge_base(other)
+        self.n_true += other.n_true
+        self.n_false += other.n_false
+
+    def result(self) -> dict:
+        out = self._base_result()
+        out["type"] = BOOLEAN
+        out["counts"] = [
+            {"name": self.name, "value": True, "count": self.n_true},
+            {"name": self.name, "value": False, "count": self.n_false},
+        ]
+        nd = (1 if self.n_true else 0) + (1 if self.n_false else 0)
+        count = self.n - self.n_missing
+        out["n_distinct"] = nd
+        out["p_distinct"] = nd / count if count else 0.0
+        return out
+
+
+class DatetimeAccumulator(ColumnAccumulator, _DistinctMixin):
+    """Datetime columns: start/end/range + epoch-second histogram
+    (variables/datetime.py:5-39, epoch conversion at :32)."""
+
+    kind = "datetime"
+
+    def __init__(self, name: str):
+        super().__init__(name)
+        self._init_distinct(topk_cap=65_536)
+        self.moments = MomentsState()   # over epoch seconds
+        self.kll = KLLSketch()
+
+    def update(self, arr) -> None:
+        arr = _combine_chunks(arr)
+        valid = self._pre(arr)
+        if len(valid) == 0:
+            return
+        if pa.types.is_timestamp(valid.type) or pa.types.is_date(valid.type):
+            epoch = valid.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            epoch = valid.cast(pa.int64())
+        x = epoch.to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        self.moments.update(x)
+        self.kll.update(x)
+        self._update_distinct(epoch)
+
+    def merge(self, other: "DatetimeAccumulator") -> None:
+        self._merge_base(other)
+        self._merge_distinct(other)
+        self.moments.merge(other.moments)
+        self.kll.merge(other.kll)
+
+    def result(self) -> dict:
+        import datetime as _dt
+        out = self._base_result()
+        out.update(self._distinct_result())
+        out["type"] = DATETIME
+        if self.moments.n:
+            start = _dt.datetime.utcfromtimestamp(self.moments.vmin)
+            end = _dt.datetime.utcfromtimestamp(self.moments.vmax)
+            out["start"] = start.isoformat()
+            out["end"] = end.isoformat()
+            out["date_range"] = str(end - start)
+            out["histogram"] = _reference_histogram(self.counter, self.moments, self.kll)
+        return out
+
+
+_DIGIT_PAT = r"[0-9]"
+_UPPER_PAT = r"[A-Z]"
+_SPACE_PAT = r"\s"
+_PUNCT_PAT = r"[^\w\s]"
+_WORD_PAT = r"\S+"
+
+
+class StringAccumulator(ColumnAccumulator, _DistinctMixin):
+    """String columns: full find_types probe chain as mergeable flags
+    (utils.py:205-271) + categorical/textual stats (A10/A12).
+
+    Textual stats follow ``variables/textual.py:15-150``: ratio of
+    uppercase/digit/punct/space chars over the corpus, and char-length /
+    word-length distribution bundles.
+    """
+
+    kind = "string"
+
+    # long values are stored in the counter as prefix+hash keys: counts stay
+    # exact per full value while bounding partial-state bytes
+    _LONG_KEY = 64
+
+    def __init__(self, name: str, text_stats: bool = True):
+        super().__init__(name)
+        self._init_distinct(topk_cap=16_384)
+        self.text_stats = text_stats
+        # probe flags: AND-merged "every non-null value parses as X"
+        self.all_datetime = True
+        self.all_boolean = True
+        self.all_numeric = True
+        self.all_geometry = True
+        self.probe_checked = False
+        self.num_sub = MomentsState()    # numeric-coercible values routed here
+        self.num_kll = KLLSketch()
+        # textual char/word stats
+        self.total_chars = 0
+        self.n_digit = 0
+        self.n_upper = 0
+        self.n_space = 0
+        self.n_punct = 0
+        self.char_len = MomentsState()
+        self.char_len_kll = KLLSketch()
+        self.word_len = MomentsState()
+        self.word_len_kll = KLLSketch()
+        self.words_per_value = MomentsState()
+
+    def update(self, arr) -> None:
+        arr = _combine_chunks(arr)
+        if pa.types.is_dictionary(arr.type):
+            arr = arr.cast(pa.string())
+        valid = self._pre(arr)
+        if len(valid) == 0:
+            return
+        self.probe_checked = True
+        self._update_distinct(valid)
+        self._probes(valid)
+        if self.text_stats:
+            self._text(valid)
+
+    def _probes(self, valid: pa.Array) -> None:
+        # Each probe quick-rejects on a small head sample before paying for a
+        # full-batch scan — text columns fail in the first few values, so the
+        # expensive parses only run on columns that are plausibly that type.
+        import pandas as pd
+        head = pd.Series(valid.slice(0, 16).to_pylist())
+        # boolean-word probe (utils.py:232-250)
+        if self.all_boolean:
+            if not head.str.strip().str.lower().isin(BOOL_WORDS).all():
+                self.all_boolean = False
+            else:
+                low = pc.utf8_lower(pc.utf8_trim_whitespace(valid))
+                ok = pc.is_in(low, value_set=pa.array(sorted(BOOL_WORDS)))
+                self.all_boolean = bool(pc.all(ok).as_py())
+        # numeric probe (utils.py:253-262) — every value float-coercible
+        if self.all_numeric:
+            if pd.to_numeric(head, errors="coerce").isna().any():
+                self.all_numeric = False
+            else:
+                s = pd.Series(valid.to_pandas())
+                coerced = pd.to_numeric(s, errors="coerce")
+                if coerced.isna().any():
+                    self.all_numeric = False
+                else:
+                    x = coerced.to_numpy(dtype=np.float64)
+                    self.num_sub.update(x)
+                    self.num_kll.update(x)
+        # datetime probe (utils.py:205-216) — skip pure numbers, as the
+        # reference's to_datetime would also happily parse epoch ints
+        if self.all_datetime:
+            if self.all_numeric:
+                self.all_datetime = False
+            else:
+                with np.errstate(all="ignore"):
+                    head_parsed = pd.to_datetime(head, errors="coerce", format="mixed")
+                if head_parsed.isna().any():
+                    self.all_datetime = False
+                else:
+                    s = pd.Series(valid.to_pandas())
+                    parsed = pd.to_datetime(s, errors="coerce", format="mixed")
+                    self.all_datetime = not parsed.isna().any()
+        if self.all_geometry:
+            hv = head.tolist()
+            self.all_geometry = all(isinstance(v, str) and _WKT_RE.match(v) for v in hv)
+
+    def _text(self, valid: pa.Array) -> None:
+        """Char-class + word-length stats, vectorized at the byte level.
+
+        The reference ASCII-coerces text before scanning
+        (``text/profiler.py:224-227``) and then counts char classes in a
+        Python loop (``:259-280``); here we scan the Arrow string data buffer
+        once with numpy bincount (ASCII classes; multi-byte UTF-8 bytes land
+        in the >=0x80 bins and are ignored, matching the reference's ASCII
+        coercion). Word boundaries come from whitespace-byte transitions.
+        """
+        n_chars = pc.utf8_length(valid).to_numpy(zero_copy_only=False).astype(np.float64)
+        self.total_chars += int(n_chars.sum())
+        self.char_len.update(n_chars)
+        self.char_len_kll.update(n_chars)
+
+        bin_arr = valid.cast(pa.large_binary())
+        if isinstance(bin_arr, pa.ChunkedArray):
+            bin_arr = bin_arr.combine_chunks()
+        offsets = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64,
+                                count=len(bin_arr) + 1)
+        data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+        # copy out of the read-only Arrow buffer: numpy kernels (bincount,
+        # fancy indexing) hit a slow element-wise path on non-writeable views
+        raw = np.array(data[offsets[0]:offsets[-1]], copy=True)
+        if raw.size:
+            counts = np.bincount(raw, minlength=256)
+            self.n_digit += int(counts[48:58].sum())
+            self.n_upper += int(counts[65:91].sum())
+            ws = int(counts[9:14].sum() + counts[32])
+            self.n_space += ws
+            # punct = ASCII printable non-alnum non-space non-underscore
+            # (regex [^\w\s] over ASCII)
+            is_alnum = np.zeros(256, dtype=bool)
+            is_alnum[48:58] = is_alnum[65:91] = is_alnum[97:123] = True
+            is_alnum[95] = True  # underscore is \w
+            punct_mask = np.zeros(256, dtype=bool)
+            punct_mask[33:127] = True
+            punct_mask &= ~is_alnum
+            self.n_punct += int(counts[punct_mask].sum())
+
+            # word runs: insert a separator space between consecutive values so
+            # runs can never span a value boundary, then find non-space runs
+            rel_off = (offsets - offsets[0]).astype(np.int64)
+            inner = rel_off[1:-1]
+            buf = np.insert(raw, inner, np.uint8(32)) if inner.size else raw
+            space_mask = np.zeros(256, dtype=bool)
+            space_mask[[9, 10, 11, 12, 13, 32]] = True
+            nonsp = ~space_mask[buf]
+            padded = np.concatenate([[False], nonsp, [False]])
+            start_idx = np.flatnonzero(padded[1:-1] & ~padded[:-2])
+            end_idx = np.flatnonzero(padded[1:-1] & ~padded[2:])
+            if start_idx.size:
+                wl = (end_idx - start_idx + 1).astype(np.float64)
+                self.word_len.update(wl)
+                self.word_len_kll.update(wl)
+            # words per value: word starts within each (shifted) value span
+            shifted_off = rel_off + np.arange(len(rel_off))
+            wc = np.diff(np.searchsorted(start_idx, shifted_off)).astype(np.float64)
+            self.words_per_value.update(wc)
+        else:
+            self.words_per_value.update(np.zeros(len(bin_arr)))
+
+    def merge(self, other: "StringAccumulator") -> None:
+        self._merge_base(other)
+        self._merge_distinct(other)
+        if other.probe_checked:
+            if not self.probe_checked:
+                for f in ("all_datetime", "all_boolean", "all_numeric", "all_geometry"):
+                    setattr(self, f, getattr(other, f))
+                self.probe_checked = True
+            else:
+                self.all_datetime &= other.all_datetime
+                self.all_boolean &= other.all_boolean
+                self.all_numeric &= other.all_numeric
+                self.all_geometry &= other.all_geometry
+        self.num_sub.merge(other.num_sub)
+        self.num_kll.merge(other.num_kll)
+        self.total_chars += other.total_chars
+        self.n_digit += other.n_digit
+        self.n_upper += other.n_upper
+        self.n_space += other.n_space
+        self.n_punct += other.n_punct
+        self.char_len.merge(other.char_len)
+        self.char_len_kll.merge(other.char_len_kll)
+        self.word_len.merge(other.word_len)
+        self.word_len_kll.merge(other.word_len_kll)
+        self.words_per_value.merge(other.words_per_value)
+
+    def logical_type(self) -> str:
+        """Detection order per find_types object branch (utils.py:394-428)."""
+        count = self.n - self.n_missing
+        if count == 0 or not self.probe_checked:
+            return UNSUPPORTED
+        if self.all_datetime:
+            return DATETIME
+        if self.all_geometry:
+            return GEOMETRY
+        if self.all_boolean:
+            return BOOLEAN
+        if self.all_numeric:
+            d = self._distinct_result()
+            if (not self.counter.overflowed
+                    and 1 <= d["n_distinct"] <= NUM_CAT_MAX_UNIQUE
+                    and d["p_unique"] < NUM_CAT_PERC_THRESHOLD):
+                return CATEGORICAL
+            return NUMERIC
+        # string split: low uniqueness -> Categorical else Textual (utils.py:420-425)
+        d = self._distinct_result()
+        if d["p_distinct"] < NUM_CAT_PERC_THRESHOLD:
+            return CATEGORICAL
+        return TEXTUAL
+
+    def _dist_block(self, mom: MomentsState, kll: KLLSketch) -> dict:
+        """The shared 13-stat describe bundle A13."""
+        out = {"count": mom.n}
+        if mom.n:
+            r = mom.result()
+            q = kll.quantile([0.10, 0.25, 0.5, 0.75, 0.90])
+            out.update({
+                "mean": r["mean"], "std": r["std"], "variance": r["variance"],
+                "min": r["min"], "max": r["max"], "kurtosis": r["kurtosis"],
+                "skewness": r["skewness"],
+                "10%": q[0], "25%": q[1], "median": q[2], "75%": q[3], "90%": q[4],
+            })
+        return out
+
+    def result(self) -> dict:
+        out = self._base_result()
+        out.update(self._distinct_result())
+        ltype = self.logical_type()
+        out["type"] = ltype
+        out["freq_value_counts"] = self.counter.freq_distribution(10)
+        if ltype == NUMERIC and self.num_sub.n:
+            out.update(self.num_sub.result())
+            out.update(self.num_kll.result())
+        if self.text_stats and self.total_chars:
+            tc = self.total_chars
+            out["num_chars"] = tc
+            out["ratio_uppercase"] = self.n_upper / tc
+            out["ratio_digits"] = self.n_digit / tc
+            out["ratio_special_characters"] = self.n_punct / tc
+            out["ratio_whitespace"] = self.n_space / tc
+            out["num_words"] = int(self.word_len.n)
+            out["char_length_distribution"] = self._dist_block(self.char_len, self.char_len_kll)
+            out["word_length_distribution"] = self._dist_block(self.word_len, self.word_len_kll)
+            out["words_per_value_mean"] = (self.words_per_value.mean
+                                           if self.words_per_value.n else None)
+        return out
+
+
+def make_accumulator(field: pa.Field, text_stats: bool = True) -> ColumnAccumulator:
+    """Pick the accumulator for an Arrow field (physical-type dispatch; the
+    logical type is refined at finalize, mirroring find_types)."""
+    t = field.type
+    if pa.types.is_boolean(t):
+        return BooleanAccumulator(field.name)
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return DatetimeAccumulator(field.name)
+    if (pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)):
+        return NumericAccumulator(field.name)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return StringAccumulator(field.name, text_stats=text_stats)
+    if pa.types.is_dictionary(t):
+        return StringAccumulator(field.name, text_stats=text_stats)
+    acc = ColumnAccumulator(field.name)
+    acc.kind = "unsupported"
+    return acc
