@@ -1,0 +1,200 @@
+"""End-to-end validation run: profile + constraints + drift, resumable.
+
+The north-rule lifecycle (SURVEY.md §3.4): one streaming pass per pending
+partition set —
+
+    read_parquet(pending shards, include_paths) → part column
+      → per-partition profile partials (map_batches, Arrow zero-copy)
+          → groupby(part) merge → per-partition state checkpoint
+      → row-local constraint checks (stateless map_batches)
+      → conversation checks (hash shuffle on conv_id, narrow projection)
+      → per-partition outputs: violations.parquet, verdicts.parquet,
+        lineage.json, state.pkl, _DONE marker
+
+Resume semantics: a partition with a ``_DONE`` marker is SKIPPED entirely —
+its saved profile state, verdicts and lineage are reloaded and merged with
+freshly computed partitions, so a rerun after failure recomputes only
+unfinished work (north rule: "checkpointing completed partitions so runs
+resume without recomputation"). The reference has no checkpointing at all
+(failure = rerun whole file; SURVEY.md §4.1).
+
+Partition = input shard (one parquet file). At 100 TB a partition would be a
+key-range bucket of files written so conversation boundaries align with
+partitions (writer buckets by hash(conv_id)); a conversation spanning two
+partitions is attributed to the partition of its first row.
+
+Drift on resume never re-reads finished partitions: per-partition profile
+states carry the value counter + KLL sketch, and ``bin_accumulators`` bins
+those into the baseline spec (stages/drift.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import pickle
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..config import ValidationConfig
+from ..stages.constraints import (VIOLATION_SCHEMA, conversation_checks,
+                                  row_violations, split_verdicts)
+from ..stages.drift import bin_accumulators, drift_from_counts, spec_from_profile
+from ..stages.profile import (_merge_states, finalize_profile,
+                              profile_partials_by_part)
+
+
+def _part_of(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _add_part_column(batch: pa.Table) -> pa.Table:
+    parts = pc.replace_substring_regex(
+        pc.replace_substring_regex(batch.column("path"), r"^.*/", ""),
+        r"\.parquet$", "")
+    batch = batch.drop_columns(["path"])
+    return batch.append_column("part", parts)
+
+
+def run_validation(input_dir: str, cfg: ValidationConfig,
+                   baseline_profile: dict | None = None) -> dict:
+    """Validate every parquet shard under ``input_dir``; resumable."""
+    import datetime
+    t0 = datetime.datetime.now()
+    out = cfg.output_dir
+    os.makedirs(os.path.join(out, "parts"), exist_ok=True)
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not shards:
+        raise FileNotFoundError(f"no parquet shards under {input_dir}")
+
+    done, pending = [], []
+    for p in shards:
+        part = _part_of(p)
+        if os.path.exists(os.path.join(out, "parts", part, "_DONE")):
+            done.append(p)
+        else:
+            pending.append(p)
+
+    if pending:
+        ds = ray.data.read_parquet(pending, include_paths=True)
+        ds = ds.map_batches(_add_part_column, batch_format="pyarrow")
+
+        # --- per-partition profile states (tree-merged, o(input) shuffle) ---
+        t_prof = time.time()
+        state_rows = list(profile_partials_by_part(ds, cfg.profile)
+                          .iter_batches(batch_format="pyarrow"))
+        states = pa.concat_tables(state_rows) if state_rows else None
+        prof_s = time.time() - t_prof
+
+        # --- constraints: row-local + conversation-local; both small outputs ---
+        t_con = time.time()
+        rv = row_violations(ds, cfg.constraints)
+        cc = conversation_checks(ds, cfg.constraints)
+        rv_tbl = _concat(rv)
+        cc_tbl = _concat(cc)
+        conv_violations, verdicts = split_verdicts(cc_tbl)
+        violations = pa.concat_tables(
+            [rv_tbl.cast(VIOLATION_SCHEMA), conv_violations.cast(VIOLATION_SCHEMA)])
+        con_s = time.time() - t_con
+
+        # --- per-partition checkpoint outputs ---
+        state_by_part: dict[str, tuple[int, bytes]] = {}
+        if states is not None:
+            for part, rows, blob in zip(states.column("part").to_pylist(),
+                                        states.column("rows").to_pylist(),
+                                        states.column("state").to_pylist()):
+                state_by_part[part] = (rows, blob)
+        for path in pending:
+            part = _part_of(path)
+            pdir = os.path.join(out, "parts", part)
+            os.makedirs(pdir, exist_ok=True)
+            rows, blob = state_by_part.get(part, (0, pickle.dumps((0, {}))))
+            with open(os.path.join(pdir, "state.pkl"), "wb") as f:
+                f.write(blob)
+            pv = violations.filter(pc.equal(violations.column("part"), part))
+            pq.write_table(pv, os.path.join(pdir, "violations.parquet"))
+            pverd = verdicts.filter(pc.equal(verdicts.column("part"), part))
+            pq.write_table(pverd, os.path.join(pdir, "verdicts.parquet"))
+            kinds = pv.column("kind").to_pylist()
+            lineage = {
+                "part": part,
+                "input_path": path,
+                "rows_in": rows,
+                "n_conversations": pverd.num_rows,
+                "n_violations": pv.num_rows,
+                "violations_by_kind": {k: kinds.count(k) for k in set(kinds)},
+                "n_failed_conversations": int(
+                    pc.sum(pc.cast(pc.invert(pverd.column("passed")),
+                                   pa.int64())).as_py() or 0),
+                "passed": pv.num_rows == 0,
+                "state_digest": hashlib.sha256(blob).hexdigest()[:16],
+                "profile_stage_s": round(prof_s, 3),
+                "constraint_stage_s": round(con_s, 3),
+                "completed_at": time.time(),
+            }
+            with open(os.path.join(pdir, "lineage.json"), "w") as f:
+                json.dump(lineage, f, indent=2)
+            with open(os.path.join(pdir, "_DONE"), "w") as f:
+                f.write("ok")
+
+    # --- final merge across ALL partitions (done + fresh) ---
+    blobs, lineages, verdict_tbls = [], [], []
+    for path in shards:
+        part = _part_of(path)
+        pdir = os.path.join(out, "parts", part)
+        with open(os.path.join(pdir, "state.pkl"), "rb") as f:
+            blobs.append(f.read())
+        with open(os.path.join(pdir, "lineage.json")) as f:
+            lineages.append(json.load(f))
+        verdict_tbls.append(pq.read_table(os.path.join(pdir, "verdicts.parquet")))
+
+    total_rows, merged = _merge_states(blobs)
+    profile = finalize_profile(total_rows, merged, cfg.profile, t0,
+                               filenames=shards)
+    all_verdicts = pa.concat_tables(verdict_tbls)
+    pq.write_table(all_verdicts, os.path.join(out, "verdicts.parquet"))
+    with open(os.path.join(out, "profile.json"), "w") as f:
+        json.dump(profile, f, indent=2, default=str)
+
+    drift = None
+    if baseline_profile is not None:
+        spec = spec_from_profile(baseline_profile)
+        drift = drift_from_counts(spec, bin_accumulators(spec, merged),
+                                  cfg.drift)
+        with open(os.path.join(out, "drift.json"), "w") as f:
+            json.dump(drift, f, indent=2)
+
+    n_failed = int(pc.sum(pc.cast(pc.invert(all_verdicts.column("passed")),
+                                  pa.int64())).as_py() or 0)
+    summary = {
+        "profile": profile,
+        "drift": drift,
+        "lineage": lineages,
+        "parts_total": len(shards),
+        "parts_recomputed": len(pending),
+        "parts_skipped": len(done),
+        "total_rows": total_rows,
+        "n_conversations": all_verdicts.num_rows,
+        "n_failed_conversations": n_failed,
+        "n_violations": sum(l["n_violations"] for l in lineages),
+        "passed": all(l["passed"] for l in lineages),
+        "output_dir": out,
+    }
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump({k: v for k, v in summary.items() if k != "profile"},
+                  f, indent=2, default=str)
+    return summary
+
+
+def _concat(ds: "ray.data.Dataset") -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return VIOLATION_SCHEMA.empty_table()
+    return pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in tables])

@@ -32,27 +32,48 @@ _SHARD_COUNTER = 0
 
 class _PartialProfiler:
     """map_batches callable: fold one Arrow batch into fresh accumulators and
-    emit a single serialized-state row."""
+    emit a single serialized-state row (one row per partition value when a
+    ``part_column`` is set — blocks come from single files, so a batch almost
+    always holds exactly one partition)."""
 
-    def __init__(self, schema: pa.Schema, config: ProfileConfig):
+    def __init__(self, schema: pa.Schema, config: ProfileConfig,
+                 part_column: str | None = None):
         self.schema = schema
         self.config = config
+        self.part_column = part_column
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        global _SHARD_COUNTER
+    def _fold(self, batch: pa.Table) -> bytes:
         accs: dict[str, ColumnAccumulator] = {}
         cols = self.config.columns or self.schema.names
         for name in cols:
+            if self.part_column and name == self.part_column:
+                continue
             fld = self.schema.field(name)
             acc = make_accumulator(fld, text_stats=self.config.text_stats
                                    and not self.config.light_mode)
             acc.update(batch.column(name))
             accs[name] = acc
+        return pickle.dumps((len(batch), accs), protocol=pickle.HIGHEST_PROTOCOL)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        global _SHARD_COUNTER
         _SHARD_COUNTER += 1
-        payload = pickle.dumps((len(batch), accs), protocol=pickle.HIGHEST_PROTOCOL)
+        if self.part_column is None:
+            return pa.table({
+                "rows": pa.array([len(batch)], type=pa.int64()),
+                "state": pa.array([self._fold(batch)], type=pa.large_binary()),
+            })
+        parts, rows, states = [], [], []
+        import pyarrow.compute as pc
+        for part in pc.unique(batch.column(self.part_column)).to_pylist():
+            sub = batch.filter(pc.equal(batch.column(self.part_column), part))
+            parts.append(part)
+            rows.append(len(sub))
+            states.append(self._fold(sub))
         return pa.table({
-            "rows": pa.array([len(batch)], type=pa.int64()),
-            "state": pa.array([payload], type=pa.large_binary()),
+            "part": pa.array(parts, type=pa.string()),
+            "rows": pa.array(rows, type=pa.int64()),
+            "state": pa.array(states, type=pa.large_binary()),
         })
 
 
@@ -77,6 +98,35 @@ def _merge_group(batch: pa.Table) -> pa.Table:
         "rows": pa.array([rows], type=pa.int64()),
         "state": pa.array([payload], type=pa.large_binary()),
     })
+
+
+def _merge_group_keyed(batch: pa.Table) -> pa.Table:
+    """Per-partition merge: all rows in the group share one part value."""
+    rows, merged = _merge_states(batch.column("state").to_pylist())
+    payload = pickle.dumps((rows, merged), protocol=pickle.HIGHEST_PROTOCOL)
+    return pa.table({
+        "part": batch.column("part").slice(0, 1),
+        "rows": pa.array([rows], type=pa.int64()),
+        "state": pa.array([payload], type=pa.large_binary()),
+    })
+
+
+def profile_partials_by_part(ds: "ray.data.Dataset", config: ProfileConfig,
+                             part_column: str = "part") -> "ray.data.Dataset":
+    """Per-partition merged profile states: Dataset of (part, rows, state).
+
+    Used by the checkpointable validation pipeline — each partition's merged
+    accumulator bundle is a few KB and is persisted as that partition's
+    resumable profile checkpoint; the global profile is the driver-side merge
+    of all per-partition states (exactly the associative algebra of §2.5)."""
+    schema = ds.schema()
+    arrow_schema = pa.schema([pa.field(n, t) for n, t in
+                              zip(schema.names, schema.types)])
+    partials = ds.map_batches(
+        _PartialProfiler(arrow_schema, config, part_column=part_column),
+        batch_format="pyarrow", batch_size=config.batch_size)
+    return partials.groupby("part").map_groups(
+        _merge_group_keyed, batch_format="pyarrow")
 
 
 def profile_dataset(ds: "ray.data.Dataset", config: ProfileConfig | None = None,

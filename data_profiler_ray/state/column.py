@@ -357,6 +357,18 @@ class DatetimeAccumulator(ColumnAccumulator, _DistinctMixin):
         self.moments.merge(other.moments)
         self.kll.merge(other.kll)
 
+    def seconds_counter(self) -> TopKCounter:
+        """Distinct counter rescaled from epoch-µs keys to epoch seconds, the
+        unit of moments/KLL (reference epoch conversion, datetime.py:32) —
+        keeps histogram edges and drift binning in one consistent unit."""
+        c = TopKCounter(cap=self.counter.cap)
+        c.overflowed = self.counter.overflowed
+        c.total = self.counter.total
+        c.decremented = self.counter.decremented
+        for k, v in self.counter.counts.items():
+            c.counts[float(k) / 1e6] += v
+        return c
+
     def result(self) -> dict:
         import datetime as _dt
         out = self._base_result()
@@ -368,7 +380,8 @@ class DatetimeAccumulator(ColumnAccumulator, _DistinctMixin):
             out["start"] = start.isoformat()
             out["end"] = end.isoformat()
             out["date_range"] = str(end - start)
-            out["histogram"] = _reference_histogram(self.counter, self.moments, self.kll)
+            out["histogram"] = _reference_histogram(
+                self.seconds_counter(), self.moments, self.kll)
         return out
 
 
