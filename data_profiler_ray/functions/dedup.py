@@ -1,0 +1,433 @@
+"""Deduplication operators for training-data pipelines.
+
+Five near/exact-dup families, each Ray-Data-first (the reference has no
+near-dedup at all — SURVEY.md §2.7 — its only dedup is the silent
+datetime-index drop at ``/root/reference/stelardataprofiler/
+tabular_timeseries/variables/utils.py:105-107``):
+
+- **exact**: hash-partition on a key (or text hash) → per-group keep-first;
+- **MinHash + LSH**: token-shingle sets → vectorized 64-perm minhash →
+  band/bucket groupby → candidate pairs → exact-Jaccard verification;
+- **SimHash**: 64-bit token-weight signature, banded into 16-bit tables,
+  hamming-distance candidates;
+- **n-gram Jaccard**: exact Jaccard on LSH candidates (verification path);
+- **embedding cosine**: random-hyperplane LSH buckets → within-bucket
+  pairwise cosine (brute-force inside buckets only).
+
+Scale shape: every stage is a ``map_batches`` over Arrow followed by a
+``groupby`` on a *bucket key* — the all-to-all exchange carries only
+(bucket, id, small-state) rows, never raw text; candidate pairs are verified
+against a filtered re-read of just the involved docs. Union-find for final
+cluster survivors runs on the driver over the PAIRS (size ~ number of
+duplicates, not corpus size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+def _token_hashes(text: pa.Array):
+    """Lowercased whitespace tokens → stable 64-bit hashes (flat, offsets)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object)
+                           ).astype(np.uint64)
+    return h, offsets
+
+
+def _shingles_vectorized(tok_h: np.ndarray, offsets: np.ndarray, k: int = 3):
+    """Batch-vectorized shingling: one pass over the flat token-hash array,
+    masking out windows that cross doc boundaries. Returns (hashes, doc_offsets)."""
+    lens = np.diff(offsets)
+    n_tok = tok_h.size
+    if n_tok == 0:
+        return (np.zeros(0, np.uint64),
+                np.zeros(len(lens) + 1, np.int64))
+    mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0x85EBCA77C2B2AE63][:k], dtype=np.uint64)
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    with np.errstate(over="ignore"):
+        acc = tok_h * mults[0]
+        for j in range(1, k):
+            shifted = np.empty_like(tok_h)
+            shifted[: n_tok - j] = tok_h[j:] * mults[j]
+            shifted[n_tok - j:] = 0
+            acc = acc ^ shifted
+    # window starting at i is valid if i+k-1 is in the same doc
+    start_doc = doc_of
+    end_idx = np.minimum(np.arange(n_tok) + k - 1, n_tok - 1)
+    valid = (doc_of[end_idx] == start_doc) & (np.arange(n_tok) + k - 1 < n_tok)
+    # short docs (len<k): keep their single window at doc start (whole doc)
+    short = lens < k
+    if short.any():
+        first_idx = offsets[:-1][short & (lens > 0)]
+        valid[first_idx] = True
+    sh = acc[valid]
+    doc_sh = doc_of[valid]
+    counts = np.bincount(doc_sh, minlength=len(lens))
+    out_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return sh, out_off
+
+
+class MinHasher:
+    """map_batches actor: text → (id, band, band_hash) rows.
+
+    Permutation parameters are built once per actor in ``__init__``
+    (stateful-stage pattern, SURVEY.md §7.2). num_perm minhash values per
+    doc, banded into ``bands`` buckets of ``rows_per_band`` for LSH: two
+    docs share a bucket iff one band of their signatures agrees exactly —
+    P(candidate) ≈ 1−(1−j^r)^b for Jaccard j.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 seed: int = 2023):
+        rng = np.random.default_rng(seed)
+        self.a = (rng.integers(1, (1 << 61) - 1, size=num_perm,
+                               dtype=np.int64).astype(np.uint64) | np.uint64(1))
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm,
+                              dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = shingle_k
+
+    def signatures(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        tok_h, offsets = _token_hashes(batch.column(self.text_col))
+        sh, out_off = _shingles_vectorized(tok_h, offsets, self.k)
+        n_docs = len(out_off) - 1
+        sig = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if sh.size:
+            nonempty = np.diff(out_off) > 0
+            starts = np.clip(out_off[:-1], 0, sh.size - 1)
+            with np.errstate(over="ignore"):
+                for j in range(self.num_perm):
+                    pj = (sh * self.a[j] + self.b[j])
+                    mins = np.minimum.reduceat(pj, starts)
+                    sig[nonempty, j] = mins[nonempty]
+        return sig, np.diff(out_off)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig, _ = self.signatures(batch)
+        n_docs = sig.shape[0]
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        r = self.rows_per_band
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n_docs)
+        doc_rep = np.tile(ids, self.bands)
+        hashes = np.empty(self.bands * n_docs, dtype=np.int64)
+        for bidx in range(self.bands):
+            block = sig[:, bidx * r:(bidx + 1) * r]
+            h = pd.util.hash_array(np.ascontiguousarray(block).view(
+                [("", np.uint64)] * r).ravel()).astype(np.int64)
+            hashes[bidx * n_docs:(bidx + 1) * n_docs] = h
+        return pa.table({
+            "band": pa.array(band_ids, pa.int32()),
+            "bucket": pa.array(hashes, pa.int64()),
+            "id": pa.array(doc_rep, pa.int64()),
+        })
+
+
+def _pairs_from_buckets(group: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Emit unordered candidate pairs from one (band, bucket) group.
+    Buckets larger than ``max_bucket`` are degenerate (e.g. empty-text
+    cluster): pair everyone with the group minimum instead of quadratic."""
+    ids = np.unique(group.column("id").to_numpy(zero_copy_only=False))
+    if ids.size < 2:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    if ids.size > max_bucket:
+        a = np.full(ids.size - 1, ids[0])
+        b = ids[1:]
+    else:
+        iu = np.triu_indices(ids.size, k=1)
+        a, b = ids[iu[0]], ids[iu[1]]
+    return pa.table({"id_a": pa.array(a, pa.int64()),
+                     "id_b": pa.array(b, pa.int64())})
+
+
+def minhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 64,
+                       bands: int = 16, shingle_k: int = 3,
+                       concurrency=None) -> "ray.data.Dataset":
+    """text → LSH candidate duplicate pairs (distinct, id_a < id_b)."""
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+                                   num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        _pairs_from_buckets, batch_format="pyarrow")
+    # distinct pairs (same pair can surface from several bands)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_k: int = 3, threshold: float = 0.7) -> pa.Table:
+    """Exact n-gram Jaccard for candidate pairs (n-gram Jaccard dedup op).
+
+    Only docs appearing in ``pairs`` are re-read (pushdown filter on the
+    scan), their shingle sets built once, pairs scored on the driver —
+    driver work is O(#pairs), not O(corpus).
+    """
+    wanted = np.unique(np.concatenate([
+        pairs.column("id_a").to_numpy(zero_copy_only=False),
+        pairs.column("id_b").to_numpy(zero_copy_only=False)])) if pairs.num_rows \
+        else np.array([], dtype=np.int64)
+    if wanted.size == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    wanted_set = pa.array(wanted)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(id_col), value_set=wanted_set)
+        sub = batch.filter(m)
+        if sub.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.uint64()))})
+        tok_h, offsets = _token_hashes(sub.column(text_col))
+        sh, out_off = _shingles_vectorized(tok_h, offsets, shingle_k)
+        lists = [sh[out_off[i]:out_off[i + 1]].tolist()
+                 for i in range(len(out_off) - 1)]
+        return pa.table({
+            "id": sub.column(id_col).cast(pa.int64()),
+            "shingles": pa.array(lists, pa.list_(pa.uint64()))})
+
+    shingle_sets: dict[int, frozenset] = {}
+    for b in ds.select_columns([id_col, text_col]).map_batches(
+            extract, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for i, sl in zip(b.column("id").to_pylist(),
+                         b.column("shingles").to_pylist()):
+            shingle_sets[i] = frozenset(sl)
+
+    a_ids = pairs.column("id_a").to_pylist()
+    b_ids = pairs.column("id_b").to_pylist()
+    jac = []
+    for ia, ib in zip(a_ids, b_ids):
+        sa, sb = shingle_sets.get(ia, frozenset()), shingle_sets.get(ib, frozenset())
+        union = len(sa | sb)
+        jac.append(len(sa & sb) / union if union else 1.0)
+    out = pa.table({"id_a": pa.array(a_ids, pa.int64()),
+                    "id_b": pa.array(b_ids, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64())})
+    return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+
+def survivors_from_pairs(all_ids: np.ndarray, dup_pairs: pa.Table) -> np.ndarray:
+    """Union-find over duplicate pairs → keep the min id per cluster."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(dup_pairs.column("id_a").to_pylist(),
+                    dup_pairs.column("id_b").to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    return np.array(sorted(set(all_ids.tolist()) - drop), dtype=np.int64)
+
+
+def minhash_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.7,
+                  **lsh_kwargs) -> pa.Table:
+    """Full MinHash-LSH near-dedup: returns surviving ids as a table."""
+    cand_tbls = list(minhash_candidates(ds, id_col, text_col, **lsh_kwargs)
+                     .iter_batches(batch_format="pyarrow"))
+    cand = (pa.concat_tables([t.select(["id_a", "id_b"]) for t in cand_tbls])
+            if cand_tbls else pa.table({"id_a": pa.array([], pa.int64()),
+                                        "id_b": pa.array([], pa.int64())}))
+    dups = verify_jaccard(ds, cand, id_col, text_col,
+                          threshold=threshold)
+    ids = np.concatenate([b.column(id_col).to_numpy(zero_copy_only=False)
+                          for b in ds.select_columns([id_col])
+                          .iter_batches(batch_format="pyarrow")])
+    keep = survivors_from_pairs(ids, dups)
+    return pa.table({id_col: pa.array(keep, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHasher:
+    """map_batches callable: 64-bit SimHash signature per document.
+
+    sig bit j = sign of Σ_tokens (bit_j(hash(token)) ? +1 : −1); near-dups
+    have small hamming distance. Banded into four 16-bit tables so any pair
+    within hamming ≤ 3 of each other shares at least one exact band.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, batch: pa.Table) -> np.ndarray:
+        tok_h, offsets = _token_hashes(batch.column(self.text_col))
+        n_docs = len(offsets) - 1
+        sig = np.zeros(n_docs, dtype=np.uint64)
+        if tok_h.size:
+            bits = np.unpackbits(tok_h.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little").astype(np.int32)
+            pm = bits * 2 - 1  # ±1 per bit
+            starts = np.clip(offsets[:-1], 0, tok_h.size - 1)
+            sums = np.add.reduceat(pm, starts, axis=0)
+            lens = np.diff(offsets)
+            sums[lens == 0] = 0
+            bitvals = (sums > 0).astype(np.uint8)
+            sig = np.packbits(bitvals, axis=1, bitorder="little").view(
+                np.uint64).ravel()
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self.signature(batch)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = sig.size
+        bands = []
+        for b in range(4):
+            bands.append(((sig >> np.uint64(16 * b)) &
+                          np.uint64(0xFFFF)).astype(np.int64))
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "bucket": pa.array(np.concatenate(bands), pa.int64()),
+            "id": pa.array(np.tile(ids, 4), pa.int64()),
+            "sig": pa.array(np.tile(sig.astype(np.int64), 4), pa.int64()),
+        })
+
+
+def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3,
+                       concurrency=None) -> "ray.data.Dataset":
+    """SimHash near-dup candidate pairs with hamming distance filter."""
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        tbl = group.combine_chunks()
+        order = pc.sort_indices(tbl, sort_keys=[("id", "ascending")])
+        tbl = tbl.take(order)
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        sigs = tbl.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        uniq, idx = np.unique(ids, return_index=True)
+        ids, sigs = ids[idx], sigs[idx]
+        if ids.size < 2 or ids.size > 256:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+        iu = np.triu_indices(ids.size, k=1)
+        x = sigs[iu[0]] ^ sigs[iu[1]]
+        ham = np.array([bin(v).count("1") for v in x], dtype=np.int32)
+        keep = ham <= max_hamming
+        return pa.table({"id_a": pa.array(ids[iu[0]][keep], pa.int64()),
+                         "id_b": pa.array(ids[iu[1]][keep], pa.int64()),
+                         "hamming": pa.array(ham[keep], pa.int32())})
+
+    cand = banded.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pyarrow")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+
+
+class HyperplaneBucketer:
+    """Random-hyperplane LSH for embeddings: bucket = sign bits of R·v."""
+
+    def __init__(self, emb_col: str = "embedding", id_col: str = "vec_id",
+                 n_bits: int = 12, dim: int = 64, seed: int = 2023):
+        rng = np.random.default_rng(seed)
+        self.R = rng.standard_normal((dim, n_bits))
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch.column(self.emb_col)
+        mat = np.stack(emb.to_pandas().to_numpy())  # (n, dim) float32
+        proj = mat @ self.R
+        bits = (proj > 0).astype(np.uint64)
+        bucket = np.zeros(mat.shape[0], dtype=np.uint64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j] << np.uint64(j)
+        norm = np.linalg.norm(mat, axis=1)
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            "id": batch.column(self.id_col).cast(pa.int64()),
+            "emb": emb,
+            "norm": pa.array(norm, pa.float64()),
+        })
+
+
+def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        n_bits: int = 12, dim: int = 64,
+                        concurrency=None) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
+
+    Within-bucket brute force only: one numpy matmul per bucket. Lowering
+    ``n_bits`` raises recall at the cost of bigger buckets.
+    """
+    bucketed = ds.select_columns([id_col, emb_col]).map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs=dict(emb_col=emb_col, id_col=id_col,
+                                   n_bits=n_bits, dim=dim),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.combine_chunks()
+        ids = g.column("id").to_numpy(zero_copy_only=False)
+        if ids.size < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        mat = np.stack(g.column("emb").to_pandas().to_numpy())
+        norms = g.column("norm").to_numpy(zero_copy_only=False)
+        normed = mat / np.maximum(norms, 1e-12)[:, None]
+        sim = normed @ normed.T
+        iu = np.triu_indices(ids.size, k=1)
+        s = sim[iu]
+        keep = s >= threshold
+        return pa.table({"id_a": pa.array(ids[iu[0]][keep], pa.int64()),
+                         "id_b": pa.array(ids[iu[1]][keep], pa.int64()),
+                         "cosine": pa.array(s[keep], pa.float64())})
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
+                id_col: str) -> "ray.data.Dataset":
+    """Hash-partition on the key → keep the min-id row per group (D1)."""
+    def keep_first(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        return group.take(order.slice(0, 1))
+    return ds.groupby(key_cols).map_groups(keep_first, batch_format="pyarrow")

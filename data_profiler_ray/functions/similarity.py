@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths (both Ray-Data-first, per the training-data-ops brief):
+
+- **brute-force cosine top-k** (baseline): the query matrix is broadcast via
+  ``ray.put`` ONCE and materialized per actor in ``__init__`` — each batch
+  does one numpy matmul against it and emits only its local top-k rows;
+  the driver merges #blocks × k tiny results.
+- **IVF (inverted-file) top-k** (scale path): k-means centroids fitted on a
+  driver-side SAMPLE (``ds.limit``), broadcast; a map_batches stage assigns
+  each vector to its nearest centroid and PRUNES every batch down to vectors
+  whose centroid is among the ``n_probe`` closest to the query — only the
+  surviving fraction pays the exact-distance matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stack(emb_col) -> np.ndarray:
+    arr = emb_col.combine_chunks() if isinstance(emb_col, pa.ChunkedArray) \
+        else emb_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
+
+
+class _TopKScorer:
+    """Actor-pool batch scorer: cosine of each row against the broadcast
+    query matrix; emits the per-batch top-k only."""
+
+    def __init__(self, query_ref, k: int, emb_col: str, id_col: str):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _stack(batch.column(self.emb_col))
+        if mat.size == 0:
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        normed = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sim = normed @ self.q.T                        # (n, n_queries)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        k = min(self.k, sim.shape[0])
+        top = np.argpartition(-sim, k - 1, axis=0)[:k]  # (k, n_queries)
+        qn = sim.shape[1]
+        q_idx = np.repeat(np.arange(qn, dtype=np.int32), k)
+        rows = top.T.ravel()
+        return pa.table({
+            "query_idx": pa.array(q_idx, pa.int32()),
+            self.id_col: pa.array(ids[rows], pa.int64()),
+            "cosine": pa.array(sim[rows, np.repeat(np.arange(qn), k)],
+                               pa.float64()),
+        })
+
+
+def knn_brute_force(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    concurrency=None) -> pa.Table:
+    """Exact cosine top-k per query. Returns (query_idx, id, cosine) rows,
+    deterministically ordered by (query_idx, -cosine, id)."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(queries)
+    partial = ds.select_columns([id_col, emb_col]).map_batches(
+        _TopKScorer, fn_constructor_args=(qref, k, emb_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    tbls = list(partial.iter_batches(batch_format="pyarrow"))
+    allp = pa.concat_tables(tbls) if tbls else None
+    if allp is None or allp.num_rows == 0:
+        return pa.table({"query_idx": pa.array([], pa.int32()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    df = allp.to_pandas()
+    df = df.sort_values(["query_idx", "cosine", id_col],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _sample_kmeans(ds: "ray.data.Dataset", emb_col: str, n_clusters: int,
+                   sample_rows: int, iters: int = 10,
+                   seed: int = 2023) -> np.ndarray:
+    """Driver-side k-means on a bounded sample (never the full dataset)."""
+    sample = pa.concat_tables(list(
+        ds.select_columns([emb_col]).limit(sample_rows)
+        .iter_batches(batch_format="pyarrow")))
+    X = _stack(sample.column(emb_col))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=min(n_clusters, X.shape[0]),
+                        replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent
+
+
+class _IVFScorer:
+    """Assign → prune → exact score. Centroids broadcast via constructor."""
+
+    def __init__(self, cent_ref, query_ref, k: int, n_probe: int,
+                 emb_col: str, id_col: str):
+        self.cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        # clusters to probe: nearest n_probe centroids to ANY query
+        qd = ((self.q[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        probe = np.unique(np.argsort(qd, axis=1)[:, :n_probe].ravel())
+        self.probe = set(probe.tolist())
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _stack(batch.column(self.emb_col))
+        empty = pa.table({"query_idx": pa.array([], pa.int32()),
+                          self.id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if mat.size == 0:
+            return empty
+        d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        keep = np.isin(assign, list(self.probe))
+        if not keep.any():
+            return empty
+        sub = mat[keep]
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)[keep]
+        normed = sub / np.maximum(
+            np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        sim = normed @ self.q.T
+        k = min(self.k, sim.shape[0])
+        top = np.argpartition(-sim, k - 1, axis=0)[:k]
+        qn = sim.shape[1]
+        q_idx = np.repeat(np.arange(qn, dtype=np.int32), k)
+        rows = top.T.ravel()
+        return pa.table({
+            "query_idx": pa.array(q_idx, pa.int32()),
+            self.id_col: pa.array(ids[rows], pa.int64()),
+            "cosine": pa.array(sim[rows, np.repeat(np.arange(qn), k)],
+                               pa.float64()),
+        })
+
+
+def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+            emb_col: str = "embedding", id_col: str = "vec_id",
+            n_clusters: int = 16, n_probe: int = 4,
+            sample_rows: int = 10_000, concurrency=None) -> pa.Table:
+    """Approximate cosine top-k via IVF pruning (scale path)."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    cent = _sample_kmeans(ds, emb_col, n_clusters, sample_rows)
+    cref, qref = ray.put(cent), ray.put(queries)
+    partial = ds.select_columns([id_col, emb_col]).map_batches(
+        _IVFScorer, fn_constructor_args=(cref, qref, k, n_probe,
+                                         emb_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    tbls = list(partial.iter_batches(batch_format="pyarrow"))
+    allp = pa.concat_tables(tbls) if tbls else None
+    if allp is None or allp.num_rows == 0:
+        return pa.table({"query_idx": pa.array([], pa.int32()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    df = allp.to_pandas().sort_values(
+        ["query_idx", "cosine", id_col],
+        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,229 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Vectorized per-batch text functions (SURVEY.md M5/M6 lineage: the reference
+counts char classes and tokens per document in Python loops,
+``/root/reference/stelardataprofiler/text/profiler.py:229-280``; here every
+kernel is pyarrow.compute / numpy over whole batches):
+
+- token counting: whitespace tokens + a BPE-ish regex token estimate;
+- language ID: stopword-hit-rate n-gram heuristic (deterministic, no model);
+- quality scoring: length / punctuation / stopword / repetition ratios
+  (the char-class ratio family of ``variables/textual.py:41-52`` repurposed
+  as per-document quality features);
+- document fingerprinting: md5 of whitespace-normalized text (SQL-checkable)
+  plus a 64-bit polynomial rolling hash.
+
+All are plain ``map_batches`` callables: ``ds.map_batches(fn,
+batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer: letter runs, single digits, single non-alnum marks
+# (GPT-2-style pre-tokenization shape, public knowledge)
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists (public common-word lists) for the
+# n-gram/stopword-ratio language heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+           "that", "for", "was", "on", "with", "as", "are", "this", "be"},
+    "de": {"der", "die", "das", "und", "oder", "zu", "in", "ist", "es",
+           "nicht", "ein", "eine", "mit", "auf", "für", "von", "den"},
+    "fr": {"le", "la", "les", "et", "ou", "de", "des", "un", "une", "est",
+           "que", "pour", "dans", "avec", "sur", "pas", "au"},
+    "es": {"el", "la", "los", "las", "y", "o", "de", "un", "una", "es",
+           "que", "para", "en", "con", "no", "por", "se"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace + BPE-ish token counts per row (vectorized regex count)."""
+    text = batch.column(text_col)
+    ws = pc.count_substring_regex(text, _WS_TOKEN_RE)
+    bpe = pc.count_substring_regex(text, _BPE_RE)
+    out = _set_column(batch, "n_tokens", ws.cast(pa.int64()))
+    return _set_column(out, "n_bpe_tokens", bpe.cast(pa.int64()))
+
+
+def _token_lists(text: pa.ChunkedArray | pa.Array):
+    """Lowercased whitespace tokens as (flat values, doc offsets)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    return flat, offsets
+
+
+def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic stopword-hit-rate language heuristic.
+
+    For each language, score = fraction of tokens that are that language's
+    stopwords; predict argmax, 'und' (undetermined) when the best score is
+    below 0.05. Vectorized: one ``pc.is_in`` pass per language over the flat
+    token array, per-document sums via ``np.add.reduceat``.
+    """
+    text = batch.column(text_col)
+    flat, offsets = _token_lists(text)
+    n_docs = len(offsets) - 1
+    doc_len = np.diff(offsets).astype(np.float64)
+    starts = offsets[:-1]
+    has_tokens = doc_len > 0
+    scores = np.zeros((len(_LANG_STOPWORDS), n_docs))
+    langs = list(_LANG_STOPWORDS)
+    if len(flat):
+        for i, lang in enumerate(langs):
+            hits = pc.is_in(flat, value_set=pa.array(
+                sorted(_LANG_STOPWORDS[lang]))).cast(pa.int8()).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            sums = np.add.reduceat(hits, np.clip(starts, 0, max(len(flat) - 1, 0)))
+            sums = np.where(has_tokens, sums, 0.0)
+            scores[i] = np.divide(sums, doc_len, out=np.zeros(n_docs),
+                                  where=has_tokens)
+    best = scores.argmax(axis=0)
+    best_score = scores.max(axis=0) if scores.size else np.zeros(n_docs)
+    pred = np.where(best_score >= 0.05,
+                    np.array(langs, dtype=object)[best], "und")
+    out = _set_column(batch, "lang_pred", pa.array(pred, pa.string()))
+    return _set_column(out, "lang_score",
+                       pa.array(best_score, pa.float64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Features (each an Arrow/numpy kernel over the batch): char count, word
+    count, mean word length, digit/punct/space char ratios, stopword ratio,
+    max single-token repetition ratio.
+    """
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.float64()).to_numpy(
+        zero_copy_only=False)
+    n_words = pc.count_substring_regex(text, _WS_TOKEN_RE).cast(
+        pa.float64()).to_numpy(zero_copy_only=False)
+    n_digit = pc.count_substring_regex(text, r"[0-9]").cast(
+        pa.float64()).to_numpy(zero_copy_only=False)
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(
+        pa.float64()).to_numpy(zero_copy_only=False)
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_words = np.maximum(n_words, 1.0)
+    mean_word_len = np.where(n_words > 0, (n_chars - (n_words - 1)) / safe_words, 0.0)
+
+    flat, offsets = _token_lists(text)
+    starts = offsets[:-1]
+    stop_ratio = np.zeros(len(n_chars))
+    rep_ratio = np.zeros(len(n_chars))
+    if len(flat):
+        en = pc.is_in(flat, value_set=pa.array(
+            sorted(_LANG_STOPWORDS["en"]))).cast(pa.int8()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sums = np.add.reduceat(en, np.clip(starts, 0, len(flat) - 1))
+        sums = np.where(n_words > 0, sums, 0.0)
+        stop_ratio = sums / safe_words
+        # repetition: most frequent token's share per doc
+        codes = pd.util.hash_array(
+            np.asarray(flat.to_pylist(), dtype=object)).astype(np.int64)
+        doc_ids = np.repeat(np.arange(len(starts)), np.diff(offsets))
+        df = pd.DataFrame({"d": doc_ids, "t": codes})
+        top = df.groupby(["d", "t"]).size().groupby("d").max()
+        rep_ratio[top.index.to_numpy()] = top.to_numpy() / safe_words[
+            top.index.to_numpy()]
+
+    # composite: length in sweet spot, words present, low digit/punct noise,
+    # some stopwords (natural language), low repetition
+    score = (
+        np.clip(n_chars / 200.0, 0, 1) * 0.2
+        + np.clip(n_words / 50.0, 0, 1) * 0.2
+        + (1.0 - np.clip(n_digit / safe_chars * 4, 0, 1)) * 0.2
+        + np.clip(stop_ratio * 4, 0, 1) * 0.2
+        + (1.0 - np.clip((rep_ratio - 0.2) * 2, 0, 1)) * 0.2
+    )
+    for name, arr in [
+        ("n_chars", n_chars), ("n_words", n_words),
+        ("mean_word_len", mean_word_len),
+        ("ratio_digits", n_digit / safe_chars),
+        ("ratio_punct", n_punct / safe_chars),
+        ("stopword_ratio", stop_ratio), ("repetition_ratio", rep_ratio),
+        ("quality_score", score),
+    ]:
+        batch = _set_column(batch, name, pa.array(arr, pa.float64()))
+    return batch
+
+
+def _set_column(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    """Append, or replace when the input table already carries the name
+    (e.g. a source ``n_chars`` column)."""
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (matches SQL ``md5(lower(regexp_replace(text,'\\s+',' ','g')))``) and a
+    64-bit polynomial rolling hash of the same normal form."""
+    text = batch.column(text_col)
+    norm = pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    # md5 per document (C-speed digest per row; one call per doc, not per byte)
+    md5s = [None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+            for v in norm.to_pylist()]
+
+    # 64-bit polynomial hash  h(d) = Σ byte_i · B^(len−1−i)  (mod 2^64),
+    # fully vectorized over the concatenated byte buffer of the whole batch:
+    # exponents per position via offsets arithmetic, powers from a cached
+    # table, per-doc sums with np.add.reduceat (uint64 arithmetic wraps).
+    bin_arr = norm.cast(pa.large_binary())
+    offsets = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64,
+                            count=len(bin_arr) + 1)
+    data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+    raw = np.array(data[offsets[0]:offsets[-1]], copy=True).astype(np.uint64)
+    rel = (offsets - offsets[0]).astype(np.int64)
+    lens = np.diff(rel)
+    n_docs = len(lens)
+    rolls = np.zeros(n_docs, dtype=np.uint64)
+    if raw.size:
+        pows = _hash_powers(int(lens.max()))
+        pos = np.arange(raw.size, dtype=np.int64) - np.repeat(rel[:-1], lens)
+        exp = np.repeat(lens - 1, lens) - pos
+        with np.errstate(over="ignore"):
+            terms = raw * pows[exp]
+            nonempty = lens > 0
+            sums = np.add.reduceat(terms, np.clip(rel[:-1], 0, raw.size - 1))
+            rolls[nonempty] = sums[nonempty]
+    signed = rolls.astype(np.int64)  # two's-complement reinterpret for Arrow
+    valid = pa.array([v is not None for v in md5s], pa.bool_())
+    fp64 = pc.if_else(valid, pa.array(signed, pa.int64()),
+                      pa.scalar(None, pa.int64()))
+    out = _set_column(batch, "fingerprint_md5", pa.array(md5s, pa.string()))
+    return _set_column(out, "fingerprint_u64", fp64)
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hash_powers(max_len: int) -> np.ndarray:
+    """B^k mod 2^64 for k in [0, max_len); cached and grown geometrically."""
+    size = 1 << max(10, (max_len).bit_length())
+    cached = _POW_CACHE.get(0)
+    if cached is None or cached.size < size:
+        B = np.uint64(1099511628211)  # FNV prime
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(np.full(size - 1, B, dtype=np.uint64),
+                                   out=p[1:])
+        _POW_CACHE[0] = p
+        cached = p
+    return cached

@@ -1,0 +1,234 @@
+"""Training-data ops: dedup / similarity / text analysis / multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from data_profiler_ray.functions.dedup import (
+    embedding_dup_pairs, exact_dedup, minhash_candidates, minhash_dedup,
+    simhash_candidates, survivors_from_pairs, verify_jaccard)
+from data_profiler_ray.functions.similarity import knn_brute_force, knn_ivf
+from data_profiler_ray.functions.text import (
+    fingerprint_batch, language_id_batch, quality_score_batch,
+    token_count_batch)
+from data_profiler_ray.stages.multimodal import (
+    FrameSampler, extract_media_features, synthesize_media)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    """Deterministic docs: 20 unique + near-dup and exact-dup variants."""
+    rng = np.random.default_rng(5)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choice(vocab, size=40)) for _ in range(20)]
+    texts, expect_dup_of = [], {}
+    for i, t in enumerate(base):
+        texts.append(t)
+    # exact duplicates of docs 0,1
+    texts.append(base[0]); expect_dup_of[20] = 0
+    texts.append(base[1]); expect_dup_of[21] = 1
+    # near-duplicate of doc 2: change last 2 words
+    words = base[2].split(); words[-1] = "omega"; words[-2] = "sigma"
+    texts.append(" ".join(words)); expect_dup_of[22] = 2
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    return tbl, expect_dup_of
+
+
+def test_minhash_dedup_finds_planted_dups(docs_with_dups):
+    tbl, expect = docs_with_dups
+    ds = ray.data.from_arrow(tbl)
+    keep = minhash_dedup(ds, threshold=0.5)["doc_id"].to_pylist()
+    for dup, orig in expect.items():
+        assert dup not in keep, f"doc {dup} (dup of {orig}) should be dropped"
+        assert orig in keep
+    # all non-dup docs survive
+    assert set(keep) == set(range(20))
+
+
+def test_minhash_exact_dup_jaccard_one(docs_with_dups):
+    tbl, _ = docs_with_dups
+    ds = ray.data.from_arrow(tbl)
+    cand = pa.concat_tables(list(
+        minhash_candidates(ds).iter_batches(batch_format="pyarrow")))
+    verified = verify_jaccard(ds, cand.select(["id_a", "id_b"]),
+                              threshold=0.0)
+    vdf = verified.to_pandas().set_index(["id_a", "id_b"])
+    assert vdf.loc[(0, 20), "jaccard"] == 1.0
+    assert vdf.loc[(1, 21), "jaccard"] == 1.0
+    assert vdf.loc[(2, 22), "jaccard"] > 0.8
+
+
+def test_simhash_candidates(docs_with_dups):
+    tbl, expect = docs_with_dups
+    ds = ray.data.from_arrow(tbl)
+    cand = pa.concat_tables(list(
+        simhash_candidates(ds).iter_batches(batch_format="pyarrow")))
+    pairs = set(map(tuple, cand.to_pandas()[["id_a", "id_b"]].values))
+    assert (0, 20) in pairs
+    assert (1, 21) in pairs
+
+
+def test_exact_dedup():
+    tbl = pa.table({"doc_id": pa.array([3, 1, 2, 5, 4], pa.int64()),
+                    "text": pa.array(["a", "b", "a", "b", "c"])})
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(list(
+        exact_dedup(ds, ["text"], "doc_id").iter_batches(
+            batch_format="pyarrow")))
+    kept = sorted(out["doc_id"].to_pylist())
+    assert kept == [1, 2, 4]  # min id per text group
+
+
+def test_survivors_union_find():
+    pairs = pa.table({"id_a": pa.array([1, 2, 7], pa.int64()),
+                      "id_b": pa.array([2, 3, 8], pa.int64())})
+    keep = survivors_from_pairs(np.arange(10), pairs)
+    assert keep.tolist() == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((50, 64))
+    vecs[40] = vecs[0] + rng.standard_normal(64) * 0.01  # near-dup of 0
+    vecs[41] = vecs[1]                                   # exact dup of 1
+    tbl = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                    "embedding": pa.array([v.astype(np.float32).tolist()
+                                           for v in vecs],
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    pairs = pa.concat_tables(list(
+        embedding_dup_pairs(ds, threshold=0.95, n_bits=6)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 40) in got
+    assert (1, 41) in got
+    assert len(got) <= 4  # no spurious explosion
+
+
+def test_knn_brute_force_vs_numpy(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = X[0]
+    out = knn_brute_force(ds, q, k=10).to_pandas()
+    # numpy oracle
+    nx = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    nq = q / np.linalg.norm(q)
+    sims = nx @ nq
+    oracle = pdf["vec_id"].to_numpy()[np.argsort(-sims, kind="stable")[:10]]
+    assert out["vec_id"].tolist() == sorted(
+        oracle.tolist(), key=lambda i: (-sims[pdf["vec_id"].tolist().index(i)], i))
+    assert out["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_knn_ivf_recall(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = X[7]
+    exact = set(knn_brute_force(ds, q, k=10)["vec_id"].to_pylist())
+    approx = set(knn_ivf(ds, q, k=10, n_clusters=8, n_probe=4)
+                 ["vec_id"].to_pylist())
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with 4/8 probes
+    assert 7 in approx               # the query vector itself is found
+
+
+def test_token_counts_vs_pandas(sf_dir):
+    tbl = pa.concat_tables(list(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    expect = pdf["text"].str.findall(r"\S+").str.len()
+    got = tbl.to_pandas().set_index("doc_id")["n_tokens"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), expect.rename("n_tokens"), check_index=False,
+        check_dtype=False)
+
+
+def test_language_id():
+    tbl = pa.table({"text": pa.array([
+        "the cat sat on the mat and it was happy with the sun",
+        "der Hund und die Katze sind nicht in der Stadt",
+        "le chat et le chien sont dans la maison pour la nuit",
+        "xyzzy qwerty asdf",
+        "",
+    ])})
+    out = language_id_batch(tbl)
+    langs = out["lang_pred"].to_pylist()
+    assert langs[0] == "en"
+    assert langs[1] == "de"
+    assert langs[2] == "fr"
+    assert langs[3] == "und"
+    assert langs[4] == "und"
+
+
+def test_quality_score():
+    tbl = pa.table({"text": pa.array([
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "and it was a fine day for a walk in the park with friends",
+        "000 111 222 333 444 555 666 777 888 999",
+        "spam spam spam spam spam spam spam spam",
+        "",
+    ])})
+    out = quality_score_batch(tbl).to_pandas()
+    assert out["quality_score"][0] > out["quality_score"][1]
+    assert out["quality_score"][0] > out["quality_score"][2]
+    assert out["repetition_ratio"][2] == pytest.approx(1.0)
+    assert out["ratio_digits"][1] > 0.5
+    assert out["n_words"][3] == 0
+
+
+def test_fingerprint_stable_and_normalized():
+    tbl = pa.table({"text": pa.array(
+        ["Hello   World", "hello world", "different text", None])})
+    out = fingerprint_batch(tbl)
+    md5 = out["fingerprint_md5"].to_pylist()
+    u64 = out["fingerprint_u64"].to_pylist()
+    assert md5[0] == md5[1]          # whitespace+case normalized
+    assert u64[0] == u64[1]
+    assert md5[2] != md5[0]
+    assert md5[3] is None and u64[3] is None
+    import hashlib
+    assert md5[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_media_feature_plumbing():
+    tbl = synthesize_media(100, seed=3)
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(list(
+        extract_media_features(ds, fake=True, feat_dim=8)
+        .iter_batches(batch_format="pyarrow")))
+    assert out.num_rows == 100
+    feats = out["feature"].to_pylist()
+    assert all(len(f) == 8 for f in feats)
+    # deterministic: same payload → same feature
+    out2 = pa.concat_tables(list(
+        extract_media_features(ray.data.from_arrow(tbl), fake=True,
+                               feat_dim=8)
+        .iter_batches(batch_format="pyarrow")))
+    assert out.to_pydict() == out2.to_pydict()
+
+
+def test_media_decode_stub_raises():
+    from data_profiler_ray.stages.multimodal import MediaFeatureExtractor
+    ex = MediaFeatureExtractor(fake=False)
+    with pytest.raises(NotImplementedError):
+        ex._decode("image", "png", b"bytes")
+
+
+def test_frame_sampler():
+    tbl = synthesize_media(30, seed=9)
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(list(
+        ds.map_batches(FrameSampler, fn_constructor_kwargs=dict(
+            stride=10, fake=True), batch_format="pyarrow",
+            concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow")))
+    pdf = out.to_pandas()
+    n_videos = sum(1 for k in tbl["kind"].to_pylist() if k == "video")
+    assert pdf["media_id"].nunique() == n_videos
+    assert set(pdf["frame_idx"].unique()) == {0, 10, 20}
