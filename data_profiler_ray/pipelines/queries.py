@@ -1,0 +1,584 @@
+"""Named query pipelines over the driver test tables + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2 (and the
+training-data ops). Every ``QUERIES[name]`` is ``f(sf_dir) -> Table/Dataset``
+and, where SQL-expressible, ``ORACLE_SQL[name]`` is the equivalent DuckDB
+statement over the same parquet views with IDENTICAL column names — float
+outputs are rounded on BOTH sides to keep the driver's value-hash stable.
+
+Non-SQL-expressible ops (MinHash/SimHash LSH, embedding LSH, language
+heuristic, quality scoring, validation run) are present in QUERIES only →
+the driver records a rows-only check for them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import ProfileConfig
+from ..functions.dedup import (embedding_dup_pairs, exact_dedup,
+                               minhash_dedup, simhash_candidates)
+from ..functions.similarity import knn_brute_force, knn_ivf
+from ..functions.text import (fingerprint_batch, language_id_batch,
+                              quality_score_batch, token_count_batch)
+from ..stages.profile import profile_dataset
+
+_R = 6  # float rounding for hash-stable comparisons
+
+
+def _read(sf_dir: str, table: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _tbl(ds) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+# ---------------------------------------------------------------------------
+# Profile-stat family (A2/A4/A5/A11 — distributed accumulators vs SQL)
+
+_LINEITEM_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_lineitem_stats(sf_dir: str) -> pa.Table:
+    """Per-column generic+moment stats from the accumulator pipeline."""
+    prof = profile_dataset(_read(sf_dir, "lineitem"),
+                           ProfileConfig(columns=_LINEITEM_NUM))
+    rows = []
+    for v in prof["variables"]:
+        rows.append({
+            "column_name": v["name"],
+            "cnt": v["count"],
+            "n_missing": v["num_missing"],
+            "n_distinct": v["n_distinct"],
+            "min_val": round(float(v["min"]), _R),
+            "max_val": round(float(v["max"]), _R),
+            # sum rounded at 2 decimals: these columns are cent-precision
+            # decimals, so the true sum IS a 2-decimal value — rounding is
+            # hash-stable where a mean would sit on a rounding boundary
+            "sum_val": round(float(v["sum"]), 2),
+        })
+    rows.sort(key=lambda r: r["column_name"])
+    return pa.Table.from_pylist(rows)
+
+
+_PROFILE_STATS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, COUNT({c}) AS cnt, "
+    f"COUNT(*) - COUNT({c}) AS n_missing, "
+    f"COUNT(DISTINCT {c}) AS n_distinct, "
+    f"ROUND(CAST(MIN({c}) AS DOUBLE), {_R}) AS min_val, "
+    f"ROUND(CAST(MAX({c}) AS DOUBLE), {_R}) AS max_val, "
+    f"ROUND(SUM(CAST({c} AS DOUBLE)), 2) AS sum_val FROM lineitem"
+    for c in _LINEITEM_NUM) + " ORDER BY column_name"
+
+
+def events_value_stats(sf_dir: str) -> pa.Table:
+    prof = profile_dataset(_read(sf_dir, "events"),
+                           ProfileConfig(columns=["value"]))
+    v = prof["variables"][0]
+    return pa.table({
+        "cnt": pa.array([v["count"]], pa.int64()),
+        "min_val": pa.array([round(float(v["min"]), _R)]),
+        "max_val": pa.array([round(float(v["max"]), _R)]),
+        "mean_val": pa.array([round(float(v["mean"]), _R)]),
+        "std_val": pa.array([round(float(v["std"]), _R)]),
+    })
+
+
+def quantiles_quantity(sf_dir: str) -> pa.Table:
+    """Exact weighted quantiles (counter-exact mode = pandas/duckdb linear
+    interpolation, reference numeric.py:46-51)."""
+    prof = profile_dataset(_read(sf_dir, "lineitem"),
+                           ProfileConfig(columns=["l_quantity"]))
+    v = prof["variables"][0]
+    return pa.table({
+        "p25": pa.array([round(float(v["25%"]), _R)]),
+        "p50": pa.array([round(float(v["median"]), _R)]),
+        "p75": pa.array([round(float(v["75%"]), _R)]),
+        "p95": pa.array([round(float(v["95%"]), _R)]),
+    })
+
+
+def datetime_range_orders(sf_dir: str) -> pa.Table:
+    prof = profile_dataset(_read(sf_dir, "orders"),
+                           ProfileConfig(columns=["o_orderdate"]))
+    v = prof["variables"][0]
+    return pa.table({
+        "start_ts": pa.array([v["start"]], pa.string()),
+        "end_ts": pa.array([v["end"]], pa.string()),
+        "n_distinct": pa.array([v["n_distinct"]], pa.int64()),
+    })
+
+
+def table_stats(sf_dir: str) -> pa.Table:
+    rows = []
+    for t in ["lineitem", "orders", "customer", "documents", "events"]:
+        prof = profile_dataset(_read(sf_dir, t), ProfileConfig(
+            text_stats=False))
+        rows.append({"table_name": t,
+                     "num_rows": prof["table"]["num_rows"],
+                     "num_attributes": prof["table"]["num_attributes"],
+                     "n_cells_missing": prof["table"]["n_cells_missing"]})
+    return pa.Table.from_pylist(rows)
+
+
+_TABLE_STATS_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS num_rows, "
+    f"(SELECT COUNT(*) FROM (DESCRIBE {t})) AS num_attributes, "
+    + "( " + " + ".join([f"(SELECT COUNT(*) - COUNT({c}) FROM {t})"
+                         for c in cols]) + " ) AS n_cells_missing "
+    f"FROM {t}"
+    for t, cols in [
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                      "l_returnflag", "l_linestatus", "l_shipdate"]),
+        ("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice", "o_orderdate", "o_orderpriority"]),
+        ("customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                      "c_mktsegment"]),
+        ("documents", ["doc_id", "text", "lang", "source", "n_chars"]),
+        ("events", ["event_id", "ts", "user_id", "event_type", "value",
+                    "props"]),
+    ]) + " ORDER BY table_name"
+
+
+def histogram_quantity(sf_dir: str) -> pa.Table:
+    """Fixed 10-bin equal-width histogram: 2-pass (merged min/max → binned
+    map_batches partials summed on the driver — A6 pattern)."""
+    ds = _read(sf_dir, "lineitem").select_columns(["l_quantity"])
+    from ray.data.aggregate import Max, Min
+    mm = ds.aggregate(Min("l_quantity"), Max("l_quantity"))
+    lo, hi = float(mm["min(l_quantity)"]), float(mm["max(l_quantity)"])
+    edges = np.linspace(lo, hi, 11)
+
+    def binner(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").drop_null().to_numpy(
+            zero_copy_only=False)
+        idx = np.clip(np.floor((x - lo) / ((hi - lo) / 10.0)), 0, 9)
+        counts = np.bincount(idx.astype(np.int64), minlength=10)
+        return pa.table({"bin_idx": pa.array(np.arange(10, dtype=np.int32)),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    parts = _tbl(ds.map_batches(binner, batch_format="pyarrow"))
+    df = parts.to_pandas().groupby("bin_idx", as_index=False)["cnt"].sum()
+    return pa.Table.from_pandas(df.sort_values("bin_idx"),
+                                preserve_index=False).set_column(
+        0, "bin_idx", pa.array(df["bin_idx"].to_numpy(), pa.int32()))
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregations / top-k (A7/A9/A10, O3)
+
+
+def value_counts_returnflag(sf_dir: str):
+    return (_read(sf_dir, "lineitem").groupby("l_returnflag").count()
+            .rename_columns({"count()": "cnt"}))
+
+
+def topk_part_brand(sf_dir: str) -> pa.Table:
+    tbl = _tbl(_read(sf_dir, "part").groupby("p_brand").count()
+               .rename_columns({"count()": "cnt"}))
+    df = tbl.to_pandas().sort_values(["cnt", "p_brand"],
+                                     ascending=[False, True]).head(5)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped rollup with per-batch partial aggregation before the
+    tiny groupby (combiner pattern, SURVEY.md §4.2)."""
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = _tbl(ds.map_batches(partial, batch_format="pyarrow"))
+    df = merged.to_pandas().groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc_price=("sum_disc_price", "sum"),
+        count_order=("count_order", "sum"))
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(_R)
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_base_price"] = df["sum_base_price"].round(2)
+    df["sum_disc_price"] = df["sum_disc_price"].round(2)
+    df = df.sort_values(["l_returnflag", "l_linestatus"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def orders_by_status(sf_dir: str) -> pa.Table:
+    tbl = _tbl(_read(sf_dir, "orders").groupby("o_orderstatus")
+               .aggregate(ray.data.aggregate.Count(),
+                          ray.data.aggregate.Sum("o_totalprice")))
+    df = tbl.to_pandas().rename(columns={
+        "count()": "cnt", "sum(o_totalprice)": "sum_totalprice"})
+    df["sum_totalprice"] = df["sum_totalprice"].round(2)
+    return pa.Table.from_pandas(df.sort_values("o_orderstatus"),
+                                preserve_index=False)
+
+
+def events_per_type(sf_dir: str) -> pa.Table:
+    tbl = _tbl(_read(sf_dir, "events").groupby("event_type")
+               .aggregate(ray.data.aggregate.Count(),
+                          ray.data.aggregate.Mean("value")))
+    df = tbl.to_pandas().rename(columns={
+        "count()": "cnt", "mean(value)": "avg_value"})
+    df["avg_value"] = df["avg_value"].round(_R)
+    return pa.Table.from_pandas(df.sort_values("event_type"),
+                                preserve_index=False)
+
+
+def hourly_events(sf_dir: str):
+    def trunc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(batch.column("ts"), unit="hour")})
+    return (_read(sf_dir, "events").select_columns(["ts"])
+            .map_batches(trunc, batch_format="pyarrow")
+            .groupby("hour").count().rename_columns({"count()": "cnt"}))
+
+
+def lang_distribution_documents(sf_dir: str):
+    return (_read(sf_dir, "documents").groupby("lang").count()
+            .rename_columns({"count()": "cnt"}))
+
+
+# ---------------------------------------------------------------------------
+# Constraints (uniqueness D1, ordering, referential J3)
+
+
+def dup_keys_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def dups(group: pa.Table) -> pa.Table:
+        if group.num_rows > 1:
+            return pa.table({
+                "user_id": group.column("user_id").slice(0, 1),
+                "ts": group.column("ts").slice(0, 1),
+                "cnt": pa.array([group.num_rows], pa.int64())})
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "ts": pa.array([], pa.timestamp("us")),
+                         "cnt": pa.array([], pa.int64())})
+    out = _tbl(ds.groupby(["user_id", "ts"]).map_groups(
+        dups, batch_format="pyarrow"))
+    if out.num_columns == 0:
+        out = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+                         ("cnt", pa.int64())]).empty_table()
+    return out
+
+
+def uniqueness_orders(sf_dir: str) -> pa.Table:
+    prof = profile_dataset(_read(sf_dir, "orders"),
+                           ProfileConfig(columns=["o_orderkey"]))
+    v = prof["variables"][0]
+    return pa.table({"n_rows": pa.array([v["n"]], pa.int64()),
+                     "n_distinct_keys": pa.array([v["n_distinct"]], pa.int64())})
+
+
+def ts_monotonicity_events(sf_dir: str) -> pa.Table:
+    """Per-user ts-regression count along event_id order (the transcript
+    monotone-ts check applied to the events table)."""
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
+
+    def check(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("event_id", "ascending")])
+        ts = group.column("ts").take(order).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_reg = int((np.diff(ts) < 0).sum()) if ts.size > 1 else 0
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1).cast(pa.int64()),
+            "n_events": pa.array([group.num_rows], pa.int64()),
+            "n_regressions": pa.array([n_reg], pa.int64())})
+    return _tbl(ds.groupby("user_id").map_groups(check,
+                                                 batch_format="pyarrow"))
+
+
+def referential_orders_customers(sf_dir: str) -> pa.Table:
+    """Broadcast anti-join: customer keys via ray.put, pc.is_in probe (J3)."""
+    import ray as _ray
+    cust = _tbl(_read(sf_dir, "customer").select_columns(["c_custkey"]))
+    keys_ref = _ray.put(cust.column("c_custkey").combine_chunks())
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+
+    class AntiProbe:
+        def __init__(self, ref):
+            self.keys = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bad = pc.invert(pc.is_in(batch.column("o_custkey"),
+                                     value_set=self.keys))
+            n = int(pc.sum(bad.cast(pa.int64())).as_py() or 0)
+            return pa.table({"n_dangling": pa.array([n], pa.int64())})
+
+    parts = _tbl(ds.map_batches(AntiProbe, fn_constructor_args=(keys_ref,),
+                                batch_format="pyarrow", concurrency=(1, 4)))
+    total = int(pc.sum(parts.column("n_dangling")).as_py() or 0)
+    return pa.table({"n_dangling": pa.array([total], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+
+
+def exact_dedup_documents(sf_dir: str) -> pa.Table:
+    out = _tbl(exact_dedup(_read(sf_dir, "documents")
+                           .select_columns(["doc_id", "text"]),
+                           ["text"], "doc_id"))
+    ids = np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def minhash_dedup_documents(sf_dir: str) -> pa.Table:
+    return minhash_dedup(_read(sf_dir, "documents"), threshold=0.7)
+
+
+def simhash_candidates_documents(sf_dir: str) -> pa.Table:
+    return _tbl(simhash_candidates(_read(sf_dir, "documents")))
+
+
+def embedding_dup_pairs_query(sf_dir: str) -> pa.Table:
+    return _tbl(embedding_dup_pairs(_read(sf_dir, "embeddings"),
+                                    threshold=0.95))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      filters=[("vec_id", "=", 0)])
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
+
+
+def knn_embeddings(sf_dir: str) -> pa.Table:
+    q = _query_vec(sf_dir)
+    out = knn_brute_force(_read(sf_dir, "embeddings"), q, k=10)
+    df = out.to_pandas()[["vec_id", "cosine"]]
+    df["cosine"] = df["cosine"].round(4)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def knn_embeddings_ivf(sf_dir: str) -> pa.Table:
+    q = _query_vec(sf_dir)
+    return knn_ivf(_read(sf_dir, "embeddings"), q, k=10,
+                   n_clusters=16, n_probe=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+def token_counts_documents(sf_dir: str) -> pa.Table:
+    out = _tbl(_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+               .map_batches(token_count_batch, batch_format="pyarrow"))
+    return out.select(["doc_id", "n_tokens", "n_bpe_tokens"]).sort_by("doc_id")
+
+
+def char_counts_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars_text": pc.utf8_length(text).cast(pa.int64()),
+            "n_digits": pc.count_substring_regex(text, r"[0-9]").cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(text, r"[^\w\s]").cast(pa.int64()),
+        })
+    return _tbl(ds.map_batches(counts, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def fingerprint_documents(sf_dir: str) -> pa.Table:
+    out = _tbl(_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+               .map_batches(fingerprint_batch, batch_format="pyarrow"))
+    return out.select(["doc_id", "fingerprint_md5"]).sort_by("doc_id")
+
+
+def language_id_documents(sf_dir: str) -> pa.Table:
+    out = _tbl(_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+               .map_batches(language_id_batch, batch_format="pyarrow"))
+    return out.select(["doc_id", "lang_pred"]).sort_by("doc_id")
+
+
+def quality_scores_documents(sf_dir: str) -> pa.Table:
+    out = _tbl(_read(sf_dir, "documents").select_columns(["doc_id", "text"])
+               .map_batches(quality_score_batch, batch_format="pyarrow"))
+    return out.select(["doc_id", "quality_score", "stopword_ratio",
+                       "repetition_ratio"]).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Transcript validation flagship (rows-only; exercised against the synthetic
+# transcript fixture regardless of sf_dir)
+
+
+def transcript_validation(sf_dir: str) -> pa.Table:
+    import shutil
+    import tempfile
+    from ..config import ConstraintConfig, ValidationConfig
+    from ..pipelines.validate import run_validation
+    from ..synthetic import TOOL_REGISTRY, transcripts_path
+    tdir = transcripts_path(20000, seed=42, dup_frac=0.01, gap_frac=0.005,
+                            bad_role_frac=0.01, ts_regression_frac=0.005,
+                            dangling_tool_frac=0.2)
+    out = tempfile.mkdtemp(prefix="dpr_q_")
+    try:
+        cfg = ValidationConfig(
+            constraints=ConstraintConfig(tool_registry=TOOL_REGISTRY),
+            output_dir=out)
+        s = run_validation(tdir, cfg)
+        rows = [{
+            "parts_total": s["parts_total"],
+            "total_rows": s["total_rows"],
+            "n_conversations": s["n_conversations"],
+            "n_failed_conversations": s["n_failed_conversations"],
+            "n_violations": s["n_violations"],
+            "passed": s["passed"],
+        }]
+        return pa.Table.from_pylist(rows)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+
+
+QUERIES = {
+    "profile_lineitem_stats": profile_lineitem_stats,
+    "events_value_stats": events_value_stats,
+    "quantiles_quantity": quantiles_quantity,
+    "datetime_range_orders": datetime_range_orders,
+    "table_stats": table_stats,
+    "histogram_quantity": histogram_quantity,
+    "value_counts_returnflag": value_counts_returnflag,
+    "topk_part_brand": topk_part_brand,
+    "pricing_summary": pricing_summary,
+    "orders_by_status": orders_by_status,
+    "events_per_type": events_per_type,
+    "hourly_events": hourly_events,
+    "lang_distribution_documents": lang_distribution_documents,
+    "dup_keys_events": dup_keys_events,
+    "uniqueness_orders": uniqueness_orders,
+    "ts_monotonicity_events": ts_monotonicity_events,
+    "referential_orders_customers": referential_orders_customers,
+    "exact_dedup_documents": exact_dedup_documents,
+    "minhash_dedup_documents": minhash_dedup_documents,
+    "simhash_candidates_documents": simhash_candidates_documents,
+    "embedding_dup_pairs": embedding_dup_pairs_query,
+    "knn_embeddings": knn_embeddings,
+    "knn_embeddings_ivf": knn_embeddings_ivf,
+    "token_counts_documents": token_counts_documents,
+    "char_counts_documents": char_counts_documents,
+    "fingerprint_documents": fingerprint_documents,
+    "language_id_documents": language_id_documents,
+    "quality_scores_documents": quality_scores_documents,
+    "transcript_validation": transcript_validation,
+}
+
+
+ORACLE_SQL = {
+    "profile_lineitem_stats": _PROFILE_STATS_SQL,
+    "events_value_stats": (
+        f"SELECT COUNT(value) AS cnt, ROUND(MIN(value), {_R}) AS min_val, "
+        f"ROUND(MAX(value), {_R}) AS max_val, ROUND(AVG(value), {_R}) AS mean_val, "
+        f"ROUND(STDDEV_SAMP(value), {_R}) AS std_val FROM events"),
+    "quantiles_quantity": (
+        f"SELECT ROUND(quantile_cont(l_quantity, 0.25), {_R}) AS p25, "
+        f"ROUND(quantile_cont(l_quantity, 0.50), {_R}) AS p50, "
+        f"ROUND(quantile_cont(l_quantity, 0.75), {_R}) AS p75, "
+        f"ROUND(quantile_cont(l_quantity, 0.95), {_R}) AS p95 FROM lineitem"),
+    "datetime_range_orders": (
+        "SELECT strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS start_ts, "
+        "strftime(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS end_ts, "
+        "COUNT(DISTINCT o_orderdate) AS n_distinct FROM orders"),
+    "table_stats": _TABLE_STATS_SQL,
+    "histogram_quantity": (
+        "WITH mm AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi "
+        "FROM lineitem) "
+        "SELECT CAST(LEAST(CAST(FLOOR((l_quantity - lo) / ((hi - lo) / 10.0)) "
+        "AS INT), 9) AS INT) AS bin_idx, COUNT(*) AS cnt "
+        "FROM lineitem, mm GROUP BY 1 ORDER BY 1"),
+    "value_counts_returnflag": (
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "topk_part_brand": (
+        "SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand "
+        "ORDER BY cnt DESC, p_brand LIMIT 5"),
+    "pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "COUNT(*) AS count_order, "
+        f"ROUND(SUM(l_quantity) / COUNT(*), {_R}) AS avg_qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"),
+    "orders_by_status": (
+        "SELECT o_orderstatus, COUNT(*) AS cnt, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_totalprice FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "events_per_type": (
+        f"SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), {_R}) AS "
+        "avg_value FROM events GROUP BY event_type ORDER BY event_type"),
+    "hourly_events": (
+        "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt "
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "lang_distribution_documents": (
+        "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang "
+        "ORDER BY lang"),
+    "dup_keys_events": (
+        "SELECT user_id, ts, COUNT(*) AS cnt FROM events "
+        "GROUP BY user_id, ts HAVING COUNT(*) > 1"),
+    "uniqueness_orders": (
+        "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS "
+        "n_distinct_keys FROM orders"),
+    "ts_monotonicity_events": (
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(COALESCE(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END), 0) AS BIGINT) AS "
+        "n_regressions FROM (SELECT user_id, ts, "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts "
+        "FROM events) GROUP BY user_id ORDER BY user_id"),
+    "referential_orders_customers": (
+        "SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_dangling "
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+    "exact_dedup_documents": (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
+        "ORDER BY doc_id"),
+    "knn_embeddings": (
+        "SELECT vec_id, ROUND(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        "), 4) AS cosine FROM embeddings "
+        "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        ") DESC, vec_id LIMIT 10"),
+    "token_counts_documents": (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS "
+        "n_bpe_tokens FROM documents ORDER BY doc_id"),
+    "char_counts_documents": (
+        "SELECT doc_id, length(text) AS n_chars_text, "
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, "
+        "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct "
+        "FROM documents ORDER BY doc_id"),
+    "fingerprint_documents": (
+        "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+        "AS fingerprint_md5 FROM documents ORDER BY doc_id"),
+}
