@@ -20,6 +20,7 @@ batch_format="pyarrow")``.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -158,6 +159,57 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]:
         batch = _set_column(batch, name, pa.array(arr, pa.float64()))
     return batch
+
+
+def tfidf_summary_batch(batch: pa.Table, text_col: str = "text",
+                        threshold_factor: float = 1.8,
+                        short_doc_chars: int = 300) -> pa.Table:
+    """Per-document extractive TF-IDF summary (SURVEY.md M12).
+
+    Reference algorithm (``/root/reference/stelardataprofiler/text/
+    profiler.py:44-150,389-422``): split into sentences, score each sentence
+    by summed term TF-IDF over the document's own sentence set, keep
+    sentences scoring ≥ ``threshold_factor`` × mean score; documents with
+    ≤ ``short_doc_chars`` non-space chars are their own summary (``:390``).
+    Pure per-document function — no shuffle; loops run per sentence (tiny),
+    never per token (vectorized via Counter over a pre-split list).
+    """
+    import math
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    summaries = []
+    for doc in texts:
+        if doc is None:
+            summaries.append(None)
+            continue
+        if len(doc.replace(" ", "")) <= short_doc_chars:
+            summaries.append(doc)
+            continue
+        sentences = [s.strip() for s in re.split(r"(?<=[.!?])\s+", doc)
+                     if s.strip()]
+        if len(sentences) <= 1:
+            summaries.append(doc)
+            continue
+        sent_tokens = [s.lower().split() for s in sentences]
+        n_sent = len(sentences)
+        doc_freq: Counter = Counter()
+        for toks in sent_tokens:
+            doc_freq.update(set(toks))
+        scores = []
+        for toks in sent_tokens:
+            if not toks:
+                scores.append(0.0)
+                continue
+            tf = Counter(toks)
+            score = sum((c / len(toks)) * math.log10(n_sent / doc_freq[t])
+                        for t, c in tf.items())
+            scores.append(score / len(tf))
+        mean = sum(scores) / len(scores)
+        keep = [s for s, sc in zip(sentences, scores)
+                if sc >= threshold_factor * mean]
+        summaries.append(" ".join(keep) if keep else sentences[0])
+    return _set_column(batch, "summary", pa.array(summaries, pa.string()))
 
 
 def _set_column(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:

@@ -307,6 +307,28 @@ def ts_monotonicity_events(sf_dir: str) -> pa.Table:
                                                  batch_format="pyarrow"))
 
 
+def user_event_gaps(sf_dir: str) -> pa.Table:
+    """Per-user inter-arrival gap stats (the A14 gap-stat family applied to
+    the events stream). Integer-µs arithmetic end-to-end so the oracle hash
+    is exact."""
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        ts = group.column("ts").take(order).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = np.diff(ts)
+        return pa.table({
+            "user_id": group.column("user_id").slice(0, 1).cast(pa.int64()),
+            "n_gaps": pa.array([int(d.size)], pa.int64()),
+            "sum_gap_us": pa.array([int(d.sum()) if d.size else 0], pa.int64()),
+            "max_gap_us": pa.array([int(d.max()) if d.size else 0], pa.int64()),
+        })
+    return _tbl(ds.groupby("user_id").map_groups(
+        gaps, batch_format="pyarrow")).sort_by("user_id")
+
+
 def referential_orders_customers(sf_dir: str) -> pa.Table:
     """Broadcast anti-join: customer keys via ray.put, pc.is_in probe (J3)."""
     import ray as _ray
@@ -476,6 +498,7 @@ QUERIES = {
     "dup_keys_events": dup_keys_events,
     "uniqueness_orders": uniqueness_orders,
     "ts_monotonicity_events": ts_monotonicity_events,
+    "user_event_gaps": user_event_gaps,
     "referential_orders_customers": referential_orders_customers,
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -554,6 +577,13 @@ ORACLE_SQL = {
         "n_regressions FROM (SELECT user_id, ts, "
         "LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts "
         "FROM events) GROUP BY user_id ORDER BY user_id"),
+    "user_event_gaps": (
+        "SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps, "
+        "CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us, "
+        "CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us FROM "
+        "(SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
+        "GROUP BY user_id ORDER BY user_id"),
     "referential_orders_customers": (
         "SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_dangling "
         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),

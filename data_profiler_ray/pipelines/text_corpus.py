@@ -1,0 +1,192 @@
+"""Corpus-level text profile (SURVEY.md A18 / §3.3).
+
+The reference's multi-text flow (``/root/reference/stelardataprofiler/text/
+profiler.py:538-1111``) loops files in one process, updating corpus
+accumulators (languages Counter :897-901, distinct-word set :776, term-freq
+Counter :1014, sentiment buckets :979-990, char ratio sums :803-805). Here
+the same rollup is the canonical Ray partial+final pattern: one
+``map_batches`` pass emits a small pickled accumulator per batch, merged on
+the driver (partials are KB-sized regardless of corpus size).
+
+Model-dependent reference stages map to deterministic equivalents:
+spaCy/ftlangdetect language-ID → the stopword-hit heuristic
+(functions/text.py); VADER sentiment → a small public positive/negative
+word-list score in [-1, 1] (same 4-bucket histogram shape as
+``text/profiler.py:979-990``); NER/LDA are omitted (no models in this
+environment — the actor-pool pattern for them is demonstrated by
+stages/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.text import _LANG_STOPWORDS
+from ..state.hll import HLLSketch
+from ..state.topk import TopKCounter
+
+_SENT_SPLIT = r"[.!?]+"
+
+# tiny public sentiment word lists (AFINN-style polarity, trimmed)
+_POSITIVE = {"good", "great", "excellent", "happy", "love", "best", "nice",
+             "thanks", "thank", "perfect", "awesome", "helpful", "right",
+             "correct", "works", "success", "win", "fine", "glad", "yes"}
+_NEGATIVE = {"bad", "terrible", "awful", "sad", "hate", "worst", "wrong",
+             "error", "fail", "failed", "broken", "bug", "problem", "issue",
+             "no", "not", "never", "slow", "crash", "timeout"}
+
+
+class _CorpusState:
+    def __init__(self):
+        self.n_texts = 0
+        self.n_words = 0
+        self.n_sentences = 0
+        self.n_chars = 0
+        self.n_upper = 0
+        self.n_digit = 0
+        self.n_punct = 0
+        self.terms = TopKCounter(cap=65_536)
+        self.words_hll = HLLSketch()
+        self.languages: Counter = Counter()
+        self.sent_sum = 0.0
+        self.sent_buckets = np.zeros(4, dtype=np.int64)  # (-1,-.5,0,.5,1)
+
+    def merge(self, o: "_CorpusState") -> None:
+        self.n_texts += o.n_texts
+        self.n_words += o.n_words
+        self.n_sentences += o.n_sentences
+        self.n_chars += o.n_chars
+        self.n_upper += o.n_upper
+        self.n_digit += o.n_digit
+        self.n_punct += o.n_punct
+        self.terms.merge(o.terms)
+        self.words_hll.merge(o.words_hll)
+        self.languages.update(o.languages)
+        self.sent_sum += o.sent_sum
+        self.sent_buckets += o.sent_buckets
+
+
+class _CorpusPartial:
+    """map_batches callable emitting one pickled _CorpusState per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.lang_sets = {k: pa.array(sorted(v))
+                          for k, v in _LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st = _CorpusState()
+        text = batch.column(self.text_col).drop_null()
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        st.n_texts = len(text)
+        if len(text):
+            st.n_chars = int(pc.sum(pc.utf8_length(text)).as_py() or 0)
+            st.n_upper = int(pc.sum(
+                pc.count_substring_regex(text, r"[A-Z]")).as_py() or 0)
+            st.n_digit = int(pc.sum(
+                pc.count_substring_regex(text, r"[0-9]")).as_py() or 0)
+            st.n_punct = int(pc.sum(
+                pc.count_substring_regex(text, r"[^\w\s]")).as_py() or 0)
+            st.n_sentences = int(pc.sum(pc.count_substring_regex(
+                text, _SENT_SPLIT)).as_py() or 0)
+
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False)
+            vc = flat.value_counts()
+            vals = vc.field("values").to_pylist()
+            counts = vc.field("counts").to_numpy(zero_copy_only=False)
+            st.n_words = int(counts.sum())
+            st.terms.update_counts(vals, counts)
+            st.words_hll.update(np.asarray(vals, dtype=object))
+
+            # language per text (stopword-hit heuristic, per-doc argmax)
+            doc_len = np.diff(offsets).astype(np.float64)
+            has = doc_len > 0
+            starts = np.clip(offsets[:-1], 0, max(len(flat) - 1, 0))
+            langs = list(self.lang_sets)
+            scores = np.zeros((len(langs), len(doc_len)))
+            pos_hits = pc.is_in(flat, value_set=pa.array(
+                sorted(_POSITIVE))).cast(pa.int8()).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            neg_hits = pc.is_in(flat, value_set=pa.array(
+                sorted(_NEGATIVE))).cast(pa.int8()).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            for i, lang in enumerate(langs):
+                hits = pc.is_in(flat, value_set=self.lang_sets[lang]).cast(
+                    pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
+                s = np.add.reduceat(hits, starts)
+                scores[i] = np.divide(np.where(has, s, 0.0), doc_len,
+                                      out=np.zeros_like(doc_len), where=has)
+            best = scores.argmax(axis=0)
+            best_score = scores.max(axis=0)
+            pred = np.where(best_score >= 0.05,
+                            np.array(langs, dtype=object)[best], "unknown")
+            st.languages.update(Counter(pred.tolist()))
+
+            # sentiment per text: (pos − neg) / words, clipped to [-1, 1]
+            p = np.where(has, np.add.reduceat(pos_hits, starts), 0.0)
+            ng = np.where(has, np.add.reduceat(neg_hits, starts), 0.0)
+            score = np.clip(np.divide(p - ng, np.maximum(doc_len, 1.0)) * 5,
+                            -1.0, 1.0)
+            st.sent_sum = float(score.sum())
+            edges = np.array([-1.0, -0.5, 0.0, 0.5, 1.0])
+            idx = np.clip(np.searchsorted(edges, score, side="left") - 1, 0, 3)
+            st.sent_buckets += np.bincount(idx, minlength=4).astype(np.int64)
+        payload = pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL)
+        return pa.table({"state": pa.array([payload], pa.large_binary())})
+
+
+def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
+                        top_k_terms: int = 25) -> dict:
+    """Corpus rollup → reference-shaped dict (text/profiler.py:662-696)."""
+    import datetime
+    t0 = datetime.datetime.now()
+    partials = ds.select_columns([text_col]).map_batches(
+        _CorpusPartial(text_col), batch_format="pyarrow")
+    st = _CorpusState()
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for blob in b.column("state").to_pylist():
+            st.merge(pickle.loads(blob))
+    t1 = datetime.datetime.now()
+    total_lang = sum(st.languages.values()) or 1
+    nc = st.n_chars or 1
+    return {
+        "analysis": {"title": "text corpus", "date_start": t0.isoformat(),
+                     "date_end": t1.isoformat(), "duration": str(t1 - t0)},
+        "corpus": {
+            "profiler_type": "TextCorpus",
+            "num_texts": st.n_texts,
+            "num_words": st.n_words,
+            "num_sentences": st.n_sentences,
+            "num_characters": st.n_chars,
+            "num_distinct_words": (st.terms.n_distinct()
+                                   if not st.terms.overflowed
+                                   else st.words_hll.estimate()),
+            "ratio_uppercase": st.n_upper / nc,
+            "ratio_digits": st.n_digit / nc,
+            "ratio_special_characters": st.n_punct / nc,
+            "term_frequency": [{"term": t, "count": int(c)}
+                               for t, c in st.terms.top_k(top_k_terms)],
+            "languages": {k: v / total_lang
+                          for k, v in sorted(st.languages.items())},
+            "sentiment": {
+                "mean": st.sent_sum / st.n_texts if st.n_texts else 0.0,
+                "buckets": {"(-1,-0.5)": int(st.sent_buckets[0]),
+                            "(-0.5,0)": int(st.sent_buckets[1]),
+                            "(0,0.5)": int(st.sent_buckets[2]),
+                            "(0.5,1)": int(st.sent_buckets[3])},
+            },
+        },
+    }

@@ -45,7 +45,7 @@ import ray.data
 
 from ..config import ValidationConfig
 from ..stages.constraints import (VIOLATION_SCHEMA, conversation_checks,
-                                  row_violations, split_verdicts)
+                                  split_verdicts)
 from ..stages.drift import bin_accumulators, drift_from_counts, spec_from_profile
 from ..stages.profile import (_merge_states, finalize_profile,
                               profile_partials_by_part)
@@ -93,15 +93,23 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         states = pa.concat_tables(state_rows) if state_rows else None
         prof_s = time.time() - t_prof
 
-        # --- constraints: row-local + conversation-local; both small outputs ---
+        # --- constraints: ONE pass over a projection-pruned narrow read
+        # (text never leaves storage here); row-local violations are emitted
+        # by the block checker itself, so no second scan ---
         t_con = time.time()
-        rv = row_violations(ds, cfg.constraints)
-        cc = conversation_checks(ds, cfg.constraints)
-        rv_tbl = _concat(rv)
+        ccfg = cfg.constraints
+        narrow_cols = [c for c in (ccfg.group_column, ccfg.order_column,
+                                   ccfg.ts_column, ccfg.role_column,
+                                   ccfg.tool_column)
+                       if c in ds.schema().names]
+        ds_narrow = ray.data.read_parquet(
+            pending, include_paths=True, columns=narrow_cols)
+        ds_narrow = ds_narrow.map_batches(_add_part_column,
+                                          batch_format="pyarrow")
+        cc = conversation_checks(ds_narrow, ccfg, emit_row_violations=True)
         cc_tbl = _concat(cc)
-        conv_violations, verdicts = split_verdicts(cc_tbl)
-        violations = pa.concat_tables(
-            [rv_tbl.cast(VIOLATION_SCHEMA), conv_violations.cast(VIOLATION_SCHEMA)])
+        violations, verdicts = split_verdicts(cc_tbl)
+        violations = violations.cast(VIOLATION_SCHEMA)
         con_s = time.time() - t_con
 
         # --- per-partition checkpoint outputs ---

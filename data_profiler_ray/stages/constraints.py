@@ -75,6 +75,51 @@ def _empty_violations() -> pa.Table:
     return VIOLATION_SCHEMA.empty_table()
 
 
+def _emit_rows(kind: str, column: str, batch: pa.Table, mask, values,
+               conv, turn, part) -> pa.Table:
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    if idx.size == 0:
+        return _empty_violations()
+    take = pa.array(idx)
+    return pa.table({
+        "kind": pa.array([kind] * idx.size, pa.string()),
+        "conv_id": conv.take(take).cast(pa.string()),
+        "turn_idx": turn.take(take).cast(pa.int32()),
+        "column": pa.array([column] * idx.size, pa.string()),
+        "value": values.take(take).cast(pa.string()),
+        "detail": pa.nulls(idx.size, pa.string()),
+        "part": part.take(take).cast(pa.string()),
+    }, schema=VIOLATION_SCHEMA)
+
+
+def _row_violation_rows(batch: pa.Table, cfg: ConstraintConfig,
+                        role_arr: pa.Array, tool_arr: pa.Array | None
+                        ) -> list[pa.Table]:
+    """Vectorized row-local violation rows (bad role / dangling tool)."""
+    out: list[pa.Table] = []
+    conv = batch.column("conv_id")
+    turn = batch.column(cfg.order_column)
+    part = (batch.column("part") if "part" in batch.column_names
+            else pa.nulls(len(batch), pa.string()))
+    if cfg.role_column in batch.column_names:
+        role = batch.column(cfg.role_column)
+        bad_role = pc.and_(pc.is_valid(role),
+                           pc.invert(pc.is_in(role, value_set=role_arr)))
+        t = _emit_rows("bad_role", cfg.role_column, batch, bad_role,
+                       role, conv, turn, part)
+        if t.num_rows:
+            out.append(t)
+    if tool_arr is not None and cfg.tool_column in batch.column_names:
+        tool = batch.column(cfg.tool_column)
+        bad_tool = pc.and_(pc.is_valid(tool),
+                           pc.invert(pc.is_in(tool, value_set=tool_arr)))
+        t = _emit_rows("dangling_tool", cfg.tool_column, batch, bad_tool,
+                       tool, conv, turn, part)
+        if t.num_rows:
+            out.append(t)
+    return out
+
+
 class RowChecks:
     """Stateless map_batches callable for row-local constraint checks.
 
@@ -93,44 +138,8 @@ class RowChecks:
                          if registry else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        out: list[pa.Table] = []
-        conv = batch.column("conv_id")
-        turn = batch.column("turn_idx")
-        part = (batch.column("part") if "part" in batch.column_names
-                else pa.nulls(len(batch), pa.string()))
-
-        role = batch.column(cfg.role_column)
-        bad_role = pc.and_(pc.is_valid(role),
-                           pc.invert(pc.is_in(role, value_set=self.role_set)))
-        out.append(self._emit("bad_role", cfg.role_column, batch, bad_role,
-                              role, conv, turn, part))
-
-        if self.tool_set is not None:
-            tool = batch.column(cfg.tool_column)
-            bad_tool = pc.and_(pc.is_valid(tool),
-                               pc.invert(pc.is_in(tool, value_set=self.tool_set)))
-            out.append(self._emit("dangling_tool", cfg.tool_column, batch,
-                                  bad_tool, tool, conv, turn, part))
-        tbl = pa.concat_tables([t for t in out if t.num_rows] or [_empty_violations()])
-        return tbl
-
-    @staticmethod
-    def _emit(kind: str, column: str, batch: pa.Table, mask, values,
-              conv, turn, part) -> pa.Table:
-        idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-        if idx.size == 0:
-            return _empty_violations()
-        take = pa.array(idx)
-        return pa.table({
-            "kind": pa.array([kind] * idx.size, pa.string()),
-            "conv_id": conv.take(take).cast(pa.string()),
-            "turn_idx": turn.take(take).cast(pa.int32()),
-            "column": pa.array([column] * idx.size, pa.string()),
-            "value": values.take(take).cast(pa.string()),
-            "detail": pa.nulls(idx.size, pa.string()),
-            "part": part.take(take).cast(pa.string()),
-        }, schema=VIOLATION_SCHEMA)
+        out = _row_violation_rows(batch, self.cfg, self.role_set, self.tool_set)
+        return pa.concat_tables(out) if out else _empty_violations()
 
 
 def _check_conversation(group: pa.Table, cfg: ConstraintConfig,
@@ -221,12 +230,188 @@ def _check_conversation(group: pa.Table, cfg: ConstraintConfig,
     }, schema=VIOLATION_SCHEMA)
 
 
-def conversation_checks(ds: "ray.data.Dataset",
-                        cfg: ConstraintConfig) -> "ray.data.Dataset":
-    """Hash-shuffle on conv_id (narrow projection, no text) → per-group checks.
+class _BlockChecker:
+    """Vectorized per-block conversation checks over a (conv_id, turn_idx)
+    sorted dataset.
+
+    After the range-partition sort, every block is a contiguous key range:
+    a conversation can only be cut at the block's first/last group. The
+    checker therefore
+
+    - runs ALL interior conversations through numpy segment kernels
+      (np.add.reduceat over change-point segments — zero per-group Python
+      on the clean path; only conversations with an actual turn-structure
+      anomaly fall back to the exact per-conversation routine to emit
+      detailed violation rows), and
+    - re-emits the first/last group's raw rows as ``__boundary__`` rows for
+      a second, tiny pass (o(#blocks · conv_len) rows) that re-checks
+      possibly-cut conversations exactly.
+    """
+
+    def __init__(self, cfg: ConstraintConfig, emit_row_violations: bool = False):
+        self.cfg = cfg
+        self.emit_row_violations = emit_row_violations
+        self.role_set = set(cfg.role_domain)
+        self.tool_set = set(cfg.tool_registry) if cfg.tool_registry else None
+        self.role_arr = pa.array(sorted(self.role_set), pa.string())
+        self.tool_arr = (pa.array(sorted(self.tool_set), pa.string())
+                         if self.tool_set is not None else None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        if n == 0:
+            return _empty_violations()
+        batch = batch.combine_chunks()
+        conv = batch.column("conv_id")
+        codes_arr = pc.dictionary_encode(conv)
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        turn = batch.column(cfg.order_column).to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        g_count = starts.size
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+
+        has_ts = cfg.ts_column in batch.column_names
+        ts = (batch.column(cfg.ts_column).cast(pa.int64())
+              .to_numpy(zero_copy_only=False) if has_ts else None)
+
+        # per-row flags → per-group tallies via reduceat
+        not_change = ~change
+        dup_flags = not_change & (turn == np.roll(turn, 1))
+        n_dup = np.add.reduceat(dup_flags, starts)
+        if has_ts:
+            d_ts = ts - np.roll(ts, 1)
+            reg_flags = not_change & (d_ts < 0)
+            n_reg = np.add.reduceat(reg_flags, starts)
+        else:
+            n_reg = np.zeros(g_count, dtype=np.int64)
+
+        n_bad_role = np.zeros(g_count, dtype=np.int64)
+        if cfg.role_column in batch.column_names:
+            role = batch.column(cfg.role_column)
+            bad = pc.and_(pc.is_valid(role),
+                          pc.invert(pc.is_in(role, value_set=self.role_arr)))
+            n_bad_role = np.add.reduceat(
+                bad.to_numpy(zero_copy_only=False), starts).astype(np.int64)
+        n_bad_tool = np.zeros(g_count, dtype=np.int64)
+        if self.tool_arr is not None and cfg.tool_column in batch.column_names:
+            tool = batch.column(cfg.tool_column)
+            badt = pc.and_(pc.is_valid(tool),
+                           pc.invert(pc.is_in(tool, value_set=self.tool_arr)))
+            n_bad_tool = np.add.reduceat(
+                badt.to_numpy(zero_copy_only=False), starts).astype(np.int64)
+
+        first_turn = turn[starts]
+        last_turn = turn[ends - 1]
+        if cfg.require_contiguous_turns:
+            clean_turns = (n_dup == 0) & (first_turn == 0) & (
+                last_turn == lens - 1)
+        else:
+            clean_turns = n_dup == 0
+
+        boundary = np.zeros(g_count, dtype=bool)
+        boundary[0] = True
+        boundary[g_count - 1] = True
+        anomalous = ~boundary & (~clean_turns | (n_reg > 0))
+        clean = ~boundary & ~anomalous
+
+        out_tables: list[pa.Table] = []
+
+        if self.emit_row_violations:
+            # row-local violations for interior rows only; boundary groups
+            # get theirs in the exact second pass (no double-emission)
+            lo, hi = int(ends[0]), int(starts[g_count - 1])
+            if hi > lo:
+                interior = batch.slice(lo, hi - lo)
+                out_tables.extend(_row_violation_rows(
+                    interior, cfg, self.role_arr, self.tool_arr))
+
+        # clean interior conversations → vectorized verdict rows
+        c_idx = np.flatnonzero(clean)
+        if c_idx.size:
+            part_col = ("part" in batch.column_names)
+            parts = (batch.column("part").take(pa.array(starts[c_idx]))
+                     if part_col else pa.nulls(c_idx.size, pa.string()))
+            passed = ((n_bad_role[c_idx] == 0) & (n_bad_tool[c_idx] == 0))
+            details = [f"0|0|0|{br}|{bt}|{int(p)}" for br, bt, p in
+                       zip(n_bad_role[c_idx], n_bad_tool[c_idx], passed)]
+            out_tables.append(pa.table({
+                "kind": pa.array(["__verdict__"] * c_idx.size, pa.string()),
+                "conv_id": conv.take(pa.array(starts[c_idx])).cast(pa.string()),
+                "turn_idx": pa.array(lens[c_idx], pa.int32()),
+                "column": pa.nulls(c_idx.size, pa.string()),
+                "value": pa.nulls(c_idx.size, pa.string()),
+                "detail": pa.array(details, pa.string()),
+                "part": parts.cast(pa.string()),
+            }, schema=VIOLATION_SCHEMA))
+
+        # anomalous interior conversations → exact per-conv routine (rare)
+        for g in np.flatnonzero(anomalous):
+            sub = batch.slice(int(starts[g]), int(lens[g]))
+            out_tables.append(_check_conversation(sub, cfg, self.role_set,
+                                                  self.tool_set))
+
+        # boundary groups → re-emit raw rows for the exact second pass
+        for g in np.unique([0, g_count - 1]):
+            sub = batch.slice(int(starts[g]), int(lens[g]))
+            out_tables.append(self._encode_boundary(sub))
+
+        return pa.concat_tables(out_tables) if out_tables else _empty_violations()
+
+    def _encode_boundary(self, sub: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        k = sub.num_rows
+        ts = (sub.column(cfg.ts_column).cast(pa.int64()).cast(pa.string())
+              if cfg.ts_column in sub.column_names
+              else pa.nulls(k, pa.string()))
+        role = (sub.column(cfg.role_column).cast(pa.string())
+                if cfg.role_column in sub.column_names
+                else pa.nulls(k, pa.string()))
+        tool = (sub.column(cfg.tool_column).cast(pa.string())
+                if cfg.tool_column in sub.column_names
+                else pa.nulls(k, pa.string()))
+        part = (sub.column("part").cast(pa.string())
+                if "part" in sub.column_names else pa.nulls(k, pa.string()))
+        return pa.table({
+            "kind": pa.array(["__boundary__"] * k, pa.string()),
+            "conv_id": sub.column("conv_id").cast(pa.string()),
+            "turn_idx": sub.column(cfg.order_column).cast(pa.int32()),
+            "column": tool,    # tool rides in `column`
+            "value": role,     # role rides in `value`
+            "detail": ts,      # epoch-µs rides in `detail`
+            "part": part,
+        }, schema=VIOLATION_SCHEMA)
+
+
+def _decode_boundary(cfg: ConstraintConfig, group: pa.Table) -> pa.Table:
+    cols = {
+        "conv_id": group.column("conv_id"),
+        cfg.order_column: group.column("turn_idx"),
+        cfg.role_column: group.column("value"),
+        cfg.tool_column: group.column("column"),
+        "part": group.column("part"),
+    }
+    detail = group.column("detail")
+    if detail.null_count < len(detail):
+        cols[cfg.ts_column] = detail.cast(pa.int64()).cast(pa.timestamp("us"))
+    return pa.table(cols)
+
+
+def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
+                        emit_row_violations: bool = False
+                        ) -> "ray.data.Dataset":
+    """Range-partition sort on (conv_id, turn_idx) → vectorized block checks
+    → exact re-check of block-boundary conversations (tiny second pass).
 
     Returns a Dataset of VIOLATION_SCHEMA rows, including one
     ``__verdict__`` row per conversation carrying the tally in ``detail``.
+    Only the narrow key columns enter the shuffle — ``text`` never moves.
     """
     cols = [cfg.group_column, cfg.order_column]
     names = ds.schema().names
@@ -236,9 +421,46 @@ def conversation_checks(ds: "ray.data.Dataset",
     narrow = ds.select_columns(cols)
     role_set = set(cfg.role_domain)
     tool_set = set(cfg.tool_registry) if cfg.tool_registry else None
-    return narrow.groupby(cfg.group_column).map_groups(
-        lambda g: _check_conversation(g, cfg, role_set, tool_set),
-        batch_format="pyarrow")
+
+    # Coalesce before the range-partition sort: with many small input blocks
+    # Ray's sort fans B input blocks into ~4B tiny partitions and the
+    # exchange drowns in per-object overhead (measured 8.6s → 1.25s at 1M
+    # rows by coalescing 64 → 16 blocks first). Target ~2 blocks per CPU;
+    # at cluster scale block count should instead track
+    # bytes / target_max_block_size.
+    # capped: Ray's sort splits each of B blocks ~4-way, so B beyond ~24
+    # recreates the tiny-partition exchange; on a real cluster size B by
+    # bytes/target_max_block_size instead
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    narrow = narrow.repartition(min(max(2 * cpus, 8), 24))
+
+    checked = narrow.sort([cfg.group_column, cfg.order_column]).map_batches(
+        _BlockChecker(cfg, emit_row_violations=emit_row_violations),
+        batch_format="pyarrow",
+        batch_size=None).materialize()  # output is o(input): verdicts+violations
+
+    def keep_main(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("kind"), "__boundary__"))
+
+    def keep_boundary(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("kind"), "__boundary__"))
+
+    main = checked.map_batches(keep_main, batch_format="pyarrow")
+    boundary = checked.map_batches(keep_boundary, batch_format="pyarrow")
+    role_arr = pa.array(sorted(role_set), pa.string())
+    tool_arr = (pa.array(sorted(tool_set), pa.string())
+                if tool_set is not None else None)
+
+    def check_boundary_group(g: pa.Table) -> pa.Table:
+        dec = _decode_boundary(cfg, g)
+        tbls = [_check_conversation(dec, cfg, role_set, tool_set)]
+        if emit_row_violations:
+            tbls.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
+        return pa.concat_tables(tbls)
+
+    fixed = boundary.groupby("conv_id").map_groups(
+        check_boundary_group, batch_format="pyarrow")
+    return main.union(fixed)
 
 
 def split_verdicts(all_rows: pa.Table) -> tuple[pa.Table, pa.Table]:

@@ -1,0 +1,168 @@
+"""Timeseries stats: gap runs (A14), autocorrelation (A17), tsfresh-style
+features (A16), stationarity probe (A15, import-gated).
+
+Reference: ``/root/reference/stelardataprofiler/tabular_timeseries/
+profiler.py:459-533`` (gaps), ``variables/timeseries.py:235-307`` (features,
+ACF/PACF via statsmodels — here numpy-native), ``:106-116`` (ADF p<0.05 —
+gated behind an import-try since statsmodels may be absent).
+
+Execution shape: ``ds.sort(ts_col)`` (range partition → ordered blocks) →
+per-block GapState fragments per column → driver merges fragments in block
+order (fragment states are tiny). ACF/feature extraction needs the whole
+ordered series: per-series ``map_groups`` when a series-id column exists,
+else a driver-side bounded sample.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..state.gaps import GapState
+
+
+def timeseries_gap_stats(ds: "ray.data.Dataset", value_cols: list[str],
+                         ts_col: str) -> dict[str, dict]:
+    """Per-column NaN-gap stats over the ts-ordered dataset (A14)."""
+
+    def frag(batch: pa.Table) -> pa.Table:
+        states: dict[str, GapState] = {}
+        for c in value_cols:
+            st = GapState()
+            col = batch.column(c)
+            is_null = np.zeros(len(col), dtype=bool)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if arr.null_count:
+                is_null |= ~np.asarray(arr.is_valid())
+            if pa.types.is_floating(arr.type):
+                vals = arr.to_numpy(zero_copy_only=False)
+                is_null |= np.isnan(vals)
+            st.update(is_null)
+            states[c] = st
+        ts = batch.column(ts_col)
+        min_ts = ts[0].as_py() if len(ts) else None
+        return pa.table({
+            "min_ts": pa.array([str(min_ts)], pa.string()),
+            "state": pa.array([pickle.dumps(states)], pa.large_binary()),
+        })
+
+    cols = list(value_cols) + [ts_col]
+    frags = ds.select_columns(cols).sort(ts_col).map_batches(
+        frag, batch_format="pyarrow", batch_size=None)
+    rows = []
+    for b in frags.iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(b.column("min_ts").to_pylist(),
+                        b.column("state").to_pylist()))
+    rows.sort(key=lambda r: r[0])  # fragment order = ts order
+    merged: dict[str, GapState] = {c: GapState() for c in value_cols}
+    for _, blob in rows:
+        states = pickle.loads(blob)
+        for c, st in states.items():
+            merged[c].merge(st)
+    return {c: merged[c].result() for c in value_cols}
+
+
+def acf(x: np.ndarray, nlags: int | None = None) -> np.ndarray:
+    """Numpy autocorrelation function (reference uses statsmodels acf with
+    lag=min(100, n/2−1), variables/timeseries.py:262-307)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = x.size
+    if n < 2:
+        return np.array([1.0])
+    if nlags is None:
+        nlags = min(100, n // 2 - 1)
+    nlags = max(1, min(nlags, n - 1))
+    xd = x - x.mean()
+    denom = float((xd * xd).sum())
+    if denom == 0:
+        return np.ones(nlags + 1)
+    out = np.empty(nlags + 1)
+    out[0] = 1.0
+    for k in range(1, nlags + 1):
+        out[k] = float((xd[:-k] * xd[k:]).sum()) / denom
+    return out
+
+
+def is_time_dependent(x: np.ndarray, threshold: float = 0.1,
+                      lags: tuple[int, ...] = (1, 7, 12, 24, 30)) -> bool:
+    """The reference's TimeSeries-type probe (``check_if_timedependent``,
+    variables/utils.py:274-285): autocorrelated above ``threshold`` at any
+    of the candidate seasonal lags."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    if x.size < 3:
+        return False
+    max_lag = min(max(lags), x.size - 2)
+    a = acf(x, nlags=max_lag)
+    return any(abs(a[lag]) > threshold for lag in lags if lag < a.size)
+
+
+def tsfresh_features(x: np.ndarray) -> dict:
+    """A16 feature bundle (variables/timeseries.py:235-259,458-478):
+    abs_energy, absolute_sum_of_changes, count above/below mean, peaks."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    if x.size == 0:
+        return {"abs_energy": 0.0, "abs_sum_changes": 0.0,
+                "count_above_mean": 0, "count_below_mean": 0, "n_peaks": 0}
+    mean = x.mean()
+    d = np.diff(x)
+    # peaks: strict local maxima (numpy stand-in for number_cwt_peaks)
+    peaks = 0
+    if x.size >= 3:
+        peaks = int(np.sum((x[1:-1] > x[:-2]) & (x[1:-1] > x[2:])))
+    return {
+        "abs_energy": float((x * x).sum()),
+        "abs_sum_changes": float(np.abs(d).sum()) if d.size else 0.0,
+        "count_above_mean": int((x > mean).sum()),
+        "count_below_mean": int((x < mean).sum()),
+        "n_peaks": peaks,
+    }
+
+
+def stationarity_pvalue(x: np.ndarray):
+    """ADF p-value (A15, reference variables/timeseries.py:106-116);
+    returns None when statsmodels is unavailable in the environment."""
+    try:
+        from statsmodels.tsa.stattools import adfuller
+    except ImportError:
+        return None
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    if x.size < 10:
+        return None
+    return float(adfuller(x)[1])
+
+
+def series_features(ds: "ray.data.Dataset", value_col: str, ts_col: str,
+                    series_col: str | None = None) -> pa.Table:
+    """Per-series ordered feature extraction (A16/A17) via map_groups when a
+    series id exists; whole dataset treated as one series otherwise (bounded
+    driver sample in that case)."""
+
+    def per_series(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        x = group.column(value_col).take(order).to_numpy(zero_copy_only=False)
+        f = tsfresh_features(x)
+        a = acf(x, nlags=min(10, max(1, x.size // 2 - 1)))
+        row = {"series": (group.column(series_col)[0].as_py()
+                          if series_col else "__all__"),
+               "n": x.size, "acf_lag1": float(a[1]) if a.size > 1 else None,
+               "time_dependent": is_time_dependent(x), **f}
+        return pa.Table.from_pylist([row])
+
+    if series_col:
+        return pa.concat_tables(list(
+            ds.select_columns([series_col, value_col, ts_col])
+            .groupby(series_col).map_groups(per_series, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")))
+    sample = pa.concat_tables(list(
+        ds.select_columns([value_col, ts_col]).limit(1_000_000)
+        .iter_batches(batch_format="pyarrow")))
+    return per_series(sample)

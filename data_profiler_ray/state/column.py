@@ -529,24 +529,32 @@ class StringAccumulator(ColumnAccumulator, _DistinctMixin):
             punct_mask &= ~is_alnum
             self.n_punct += int(counts[punct_mask].sum())
 
-            # word runs: insert a separator space between consecutive values so
-            # runs can never span a value boundary, then find non-space runs
+            # word runs without building a separator-padded copy: a word
+            # starts at a non-space byte whose predecessor is space OR a
+            # value boundary; ends symmetrically (runs can't span values)
             rel_off = (offsets - offsets[0]).astype(np.int64)
-            inner = rel_off[1:-1]
-            buf = np.insert(raw, inner, np.uint8(32)) if inner.size else raw
             space_mask = np.zeros(256, dtype=bool)
             space_mask[[9, 10, 11, 12, 13, 32]] = True
-            nonsp = ~space_mask[buf]
-            padded = np.concatenate([[False], nonsp, [False]])
-            start_idx = np.flatnonzero(padded[1:-1] & ~padded[:-2])
-            end_idx = np.flatnonzero(padded[1:-1] & ~padded[2:])
+            nonsp = ~space_mask[raw]
+            prev_sp = np.empty_like(nonsp)
+            prev_sp[0] = True
+            np.logical_not(nonsp[:-1], out=prev_sp[1:])
+            next_sp = np.empty_like(nonsp)
+            next_sp[-1] = True
+            np.logical_not(nonsp[1:], out=next_sp[:-1])
+            bnd = rel_off[1:-1]
+            if bnd.size:
+                # empty leading/trailing values give bnd == 0 or == raw.size
+                prev_sp[bnd[bnd < raw.size]] = True   # value start breaks a run
+                next_sp[bnd[bnd > 0] - 1] = True      # value end breaks a run
+            start_idx = np.flatnonzero(nonsp & prev_sp)
+            end_idx = np.flatnonzero(nonsp & next_sp)
             if start_idx.size:
                 wl = (end_idx - start_idx + 1).astype(np.float64)
                 self.word_len.update(wl)
                 self.word_len_kll.update(wl)
-            # words per value: word starts within each (shifted) value span
-            shifted_off = rel_off + np.arange(len(rel_off))
-            wc = np.diff(np.searchsorted(start_idx, shifted_off)).astype(np.float64)
+            # words per value: word starts falling inside each value span
+            wc = np.diff(np.searchsorted(start_idx, rel_off)).astype(np.float64)
             self.words_per_value.update(wc)
         else:
             self.words_per_value.update(np.zeros(len(bin_arr)))

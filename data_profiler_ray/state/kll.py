@@ -88,19 +88,23 @@ class KLLSketch:
         total_cap = sum(self._capacity(i, len(self.levels)) for i in range(len(self.levels)))
         if sum(a.size for a in self.levels) <= max(total_cap, self.k):
             return
-        for i in range(len(self.levels)):
+        # cascade with a while-loop: levels appended mid-pass are visited
+        # too, so one huge update can't leave an uncompacted top level
+        i = 0
+        while i < len(self.levels):
             cap = self._capacity(i, len(self.levels))
             arr = self.levels[i]
-            if arr.size <= cap:
-                continue
-            arr = np.sort(arr)
-            start = self._coin & 1
-            self._coin += 1
-            promoted = arr[start::2]
-            self.levels[i] = np.empty(0, dtype=np.float64)
-            if i + 1 == len(self.levels):
-                self.levels.append(np.empty(0, dtype=np.float64))
-            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            if arr.size > cap:
+                arr = np.sort(arr)
+                start = self._coin & 1
+                self._coin += 1
+                promoted = arr[start::2]
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1],
+                                                     promoted])
+            i += 1
 
     # ---- queries ----
 
