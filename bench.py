@@ -136,10 +136,15 @@ def scaling_worker(num_cpus: int):
 
 
 def scaling():
-    """Fresh-process runs at 8 and 32 CPUs on the same input; efficiency =
-    (T_8 / T_32) / 4 (BASELINE.md sandbox substitute for N vs 4N nodes)."""
+    """Fresh-process runs at N and 4N parallelism on the same input
+    (BASELINE.md sandbox substitute for the N- vs 4N-node criterion).
+
+    Runs 2, 8 and 32 CPUs and reports efficiency = (T_N / T_4N) / 4 for
+    both N=2 and N=8. The box virtualizes 32 logical CPUs over far fewer
+    physical cores (see BASELINE.md), so the 2→8 pair is the
+    hardware-meaningful N→4N datapoint; 8→32 is reported alongside."""
     results = {}
-    for cpus in (8, 32):
+    for cpus in (2, 8, 32):
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--scaling-worker", str(cpus)],
@@ -148,18 +153,22 @@ def scaling():
         line = next(l for l in p.stdout.splitlines()
                     if l.startswith("SCALING_RESULT "))
         results[cpus] = json.loads(line[len("SCALING_RESULT "):])
-    t8, t32 = results[8]["seconds"], results[32]["seconds"]
-    eff = (t8 / t32) / 4.0
+    t2, t8, t32 = (results[c]["seconds"] for c in (2, 8, 32))
     out = {
-        "metric": "scaling efficiency (8→32 cpus, fresh processes, "
+        "metric": "scaling efficiency (N→4N cpus, fresh processes, "
                   "same input)",
-        "value": round(eff, 3),
+        "value": round((t2 / t8) / 4.0, 3),
         "unit": "efficiency",
-        "t_8cpu_sec": round(t8, 3),
-        "t_32cpu_sec": round(t32, 3),
-        "turns_per_sec_8cpu": round(results[8]["turns_per_sec"], 1),
-        "turns_per_sec_32cpu": round(results[32]["turns_per_sec"], 1),
-        "speedup": round(t8 / t32, 3),
+        "pairs": {
+            "2to8": {"t_n_sec": round(t2, 3), "t_4n_sec": round(t8, 3),
+                     "speedup": round(t2 / t8, 3),
+                     "efficiency": round((t2 / t8) / 4.0, 3)},
+            "8to32": {"t_n_sec": round(t8, 3), "t_4n_sec": round(t32, 3),
+                      "speedup": round(t8 / t32, 3),
+                      "efficiency": round((t8 / t32) / 4.0, 3)},
+        },
+        "turns_per_sec": {str(c): round(results[c]["turns_per_sec"], 1)
+                          for c in (2, 8, 32)},
         "bench_turns": BENCH_TURNS,
     }
     print(json.dumps(out))

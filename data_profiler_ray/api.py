@@ -117,13 +117,16 @@ def run_profile(config: dict) -> dict:
                                   sep=inp.get("sep", ","), **params)
     elif ptype in ("text", "textual"):
         prof = profile_text(files, **params)
+    elif ptype in ("hierarchical", "json"):
+        from .pipelines.hierarchical import profile_hierarchical
+        prof = profile_hierarchical(files, **params)
     elif ptype == "transcripts":
         prof = validate_transcripts(files, out.get("dir", "/tmp/dpr_out"),
                                     **params)
     else:
         raise ValueError(f"unsupported profile type {ptype!r} "
                          "(supported: tabular, vector, timeseries, text, "
-                         "transcripts; rdf/raster/hierarchical are out of "
+                         "hierarchical, transcripts; rdf/raster are out of "
                          "scope per SURVEY.md §2.1)")
     if out.get("json"):
         write_profile_json(prof, out["json"])

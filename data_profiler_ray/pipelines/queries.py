@@ -329,6 +329,46 @@ def user_event_gaps(sf_dir: str) -> pa.Table:
         gaps, batch_format="pyarrow")).sort_by("user_id")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
+
+
+def sessionize_events(sf_dir: str) -> pa.Table:
+    """Windowed/session aggregate: split each user's event stream into
+    sessions at >30-min inactivity gaps; one row per session. The
+    per-group kernel is a vectorized cumsum over gap indicators (no Python
+    loop per event)."""
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        new_sess = np.ones(ts.size, dtype=np.int64)
+        new_sess[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
+        sess_id = np.cumsum(new_sess)  # 1-based, matches SQL SUM() OVER
+        uniq, starts_idx = np.unique(sess_id, return_index=True)
+        ends_idx = np.append(starts_idx[1:], ts.size)
+        n = ends_idx - starts_idx
+        sums = np.add.reduceat(val, starts_idx)
+        return pa.table({
+            "user_id": pa.array(
+                np.repeat(g.column("user_id")[0].as_py(), uniq.size),
+                pa.int64()),
+            "session_id": pa.array(uniq, pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            "session_start_us": pa.array(ts[starts_idx], pa.int64()),
+            "session_end_us": pa.array(ts[ends_idx - 1], pa.int64()),
+            "sum_value": pa.array(np.round(sums, _R), pa.float64()),
+        })
+
+    return _tbl(ds.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow")).sort_by(
+        [("user_id", "ascending"), ("session_id", "ascending")])
+
+
 def referential_orders_customers(sf_dir: str) -> pa.Table:
     """Broadcast anti-join: customer keys via ray.put, pc.is_in probe (J3)."""
     import ray as _ray
@@ -499,6 +539,7 @@ QUERIES = {
     "uniqueness_orders": uniqueness_orders,
     "ts_monotonicity_events": ts_monotonicity_events,
     "user_event_gaps": user_event_gaps,
+    "sessionize_events": sessionize_events,
     "referential_orders_customers": referential_orders_customers,
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -584,6 +625,18 @@ ORACLE_SQL = {
         "(SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
         "GROUP BY user_id ORDER BY user_id"),
+    "sessionize_events": (
+        "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us, "
+        "ROUND(SUM(value), 6) AS sum_value FROM ("
+        "SELECT user_id, value, epoch_us(ts) AS ts_us, "
+        "SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 "
+        "END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+        "SELECT user_id, event_id, ts, value, epoch_us(ts) - "
+        "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS gap_us FROM events)) "
+        "GROUP BY user_id, session_id ORDER BY user_id, session_id"),
     "referential_orders_customers": (
         "SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_dangling "
         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),

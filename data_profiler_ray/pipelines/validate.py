@@ -85,32 +85,50 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
     if pending:
         ds = ray.data.read_parquet(pending, include_paths=True)
         ds = ds.map_batches(_add_part_column, batch_format="pyarrow")
-
-        # --- per-partition profile states (tree-merged, o(input) shuffle) ---
-        t_prof = time.time()
-        state_rows = list(profile_partials_by_part(ds, cfg.profile)
-                          .iter_batches(batch_format="pyarrow"))
-        states = pa.concat_tables(state_rows) if state_rows else None
-        prof_s = time.time() - t_prof
-
-        # --- constraints: ONE pass over a projection-pruned narrow read
-        # (text never leaves storage here); row-local violations are emitted
-        # by the block checker itself, so no second scan ---
-        t_con = time.time()
         ccfg = cfg.constraints
         narrow_cols = [c for c in (ccfg.group_column, ccfg.order_column,
                                    ccfg.ts_column, ccfg.role_column,
                                    ccfg.tool_column)
                        if c in ds.schema().names]
+        # projection-pruned narrow read for constraints: text never leaves
+        # storage on this path; row-local violations are emitted by the
+        # block checker itself, so no extra scan
         ds_narrow = ray.data.read_parquet(
             pending, include_paths=True, columns=narrow_cols)
         ds_narrow = ds_narrow.map_batches(_add_part_column,
                                           batch_format="pyarrow")
-        cc = conversation_checks(ds_narrow, ccfg, emit_row_violations=True)
-        cc_tbl = _concat(cc)
+
+        # run the profile pass and the constraint pass CONCURRENTLY — they
+        # are independent Dataset executions (wide read vs narrow read) and
+        # overlap keeps the cluster busy through each other's barriers
+        t0w = time.time()
+        timings = {}
+
+        def _profile_job():
+            t = time.time()
+            rows = list(profile_partials_by_part(ds, cfg.profile)
+                        .iter_batches(batch_format="pyarrow"))
+            timings["profile"] = time.time() - t
+            return pa.concat_tables(rows) if rows else None
+
+        def _constraint_job():
+            t = time.time()
+            cc = conversation_checks(ds_narrow, ccfg,
+                                     emit_row_violations=True)
+            tbl = _concat(cc)
+            timings["constraints"] = time.time() - t
+            return tbl
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_prof = pool.submit(_profile_job)
+            f_con = pool.submit(_constraint_job)
+            states = f_prof.result()
+            cc_tbl = f_con.result()
         violations, verdicts = split_verdicts(cc_tbl)
         violations = violations.cast(VIOLATION_SCHEMA)
-        con_s = time.time() - t_con
+        prof_s = timings.get("profile", time.time() - t0w)
+        con_s = timings.get("constraints", time.time() - t0w)
 
         # --- per-partition checkpoint outputs ---
         state_by_part: dict[str, tuple[int, bytes]] = {}

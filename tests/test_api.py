@@ -113,3 +113,26 @@ def test_write_profile_json_numpy_coercion(tmp_path):
     with open(p) as f:
         d = json.load(f)
     assert d == {"a": 3, "b": 0.5, "c": [1, 2], "d": [1, 2]}
+
+
+def test_profile_hierarchical(tmp_path):
+    import json
+    from data_profiler_ray.pipelines.hierarchical import profile_hierarchical
+    p = str(tmp_path / "nested.json")
+    with open(p, "w") as f:
+        for i in range(50):
+            f.write(json.dumps({
+                "id": i,
+                "user": {"name": f"u{i}", "address": {"city": "x", "zip": i}},
+                "tags": ["a", "b"],
+            }) + "\n")
+    prof = profile_hierarchical(p)
+    names = {v["name"] for v in prof["variables"]}
+    assert {"id", "user.name", "user.address.city", "user.address.zip",
+            "tags"} <= names
+    assert prof["table"]["profiler_type"] == "Hierarchical"
+    assert prof["table"]["depth"]["max_level"] == 3
+    assert prof["table"]["depth"]["attributes_per_level"][3] == 2
+    v = {x["name"]: x for x in prof["variables"]}
+    assert v["id"]["uniqueness_ratio"] == 1.0
+    assert v["user.address.city"]["uniqueness_ratio"] < 0.1
