@@ -626,7 +626,7 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
         "GROUP BY user_id ORDER BY user_id"),
     "sessionize_events": (
-        "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
         "MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us, "
         "ROUND(SUM(value), 6) AS sum_value FROM ("
         "SELECT user_id, value, epoch_us(ts) AS ts_us, "

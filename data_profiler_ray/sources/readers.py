@@ -95,3 +95,20 @@ def write_profile_json(profile: dict, output_file: str) -> str:
     with open(output_file, "w") as f:
         json.dump(profile, f, indent=3, default=default)
     return output_file
+
+
+def read_text_corpus(paths: str | list[str]) -> "ray.data.Dataset":
+    """S4: whole text files as documents — one row per file with the
+    reference's normalization (whitespace collapse; reference ASCII-coerces,
+    ``text/profiler.py:190,224-227`` — kept as UTF-8 here, the char-class
+    kernels ignore non-ASCII bytes the same way)."""
+    import pyarrow.compute as pc
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        texts = [b.decode("utf-8", "replace") for b in
+                 batch.column("bytes").to_pylist()]
+        arr = pc.replace_substring_regex(
+            pa.array(texts, pa.string()), r"\s+", " ")
+        return pa.table({"path": batch.column("path"), "text": arr})
+    return ds.map_batches(decode, batch_format="pyarrow")

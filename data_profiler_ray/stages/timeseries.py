@@ -166,3 +166,43 @@ def series_features(ds: "ray.data.Dataset", value_col: str, ts_col: str,
         ds.select_columns([value_col, ts_col]).limit(1_000_000)
         .iter_batches(batch_format="pyarrow")))
     return per_series(sample)
+
+
+def seasonality_periods(x: np.ndarray, max_periods: int = 3) -> list[int]:
+    """A15 seasonality via FFT peak detection (reference is Kats-derived,
+    variables/timeseries.py:119-232: PSD peaks above a MAD-based threshold,
+    harmonic suppression). Returns detected period lengths, strongest first."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = x.size
+    if n < 8:
+        return []
+    xd = x - x.mean()
+    psd = np.abs(np.fft.rfft(xd)) ** 2
+    freqs = np.fft.rfftfreq(n)
+    psd[0] = 0.0
+    med = np.median(psd)
+    mad = np.median(np.abs(psd - med)) or 1.0
+    # MAD outlier bar AND a minimum share of total power — white noise
+    # spreads power thin, so no single bin clears the share test
+    thresh = max(med + 6.0 * 1.4826 * mad, 0.05 * psd.sum())
+    peaks = np.flatnonzero(
+        (psd > thresh)
+        & (psd >= np.roll(psd, 1)) & (psd >= np.roll(psd, -1)))
+    peaks = peaks[np.argsort(-psd[peaks])]
+    periods: list[int] = []
+    for p in peaks:
+        if freqs[p] <= 0:
+            continue
+        period = int(round(1.0 / freqs[p]))
+        if period < 2 or period > n // 2:
+            continue
+        # harmonic suppression: skip integer multiples/divisors of found ones
+        if any(abs(period - q) <= 1 or
+               (q % period in (0, period - 1, 1)) or
+               (period % q in (0, q - 1, 1)) for q in periods):
+            continue
+        periods.append(period)
+        if len(periods) >= max_periods:
+            break
+    return periods

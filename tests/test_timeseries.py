@@ -126,3 +126,13 @@ def test_tfidf_summary():
     assert summaries[2] is None
     assert len(summaries[0]) < len(long_doc)  # extractive subset
     assert "Penguins" in summaries[0] or "backpressure" in summaries[0]
+
+
+def test_seasonality_periods():
+    from data_profiler_ray.stages.timeseries import seasonality_periods
+    x = np.sin(np.arange(600) * 2 * np.pi / 24) \
+        + 0.3 * np.sin(np.arange(600) * 2 * np.pi / 7)
+    periods = seasonality_periods(x)
+    assert 24 in periods and 7 in periods
+    noise = np.random.default_rng(0).standard_normal(600)
+    assert seasonality_periods(noise) == []
