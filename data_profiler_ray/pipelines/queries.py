@@ -329,6 +329,54 @@ def user_event_gaps(sf_dir: str) -> pa.Table:
         gaps, batch_format="pyarrow")).sort_by("user_id")
 
 
+def distinct_counts_lineitem(sf_dir: str) -> pa.Table:
+    """Distinct cardinalities from the accumulator pipeline (exact below
+    the counter cap, HLL beyond — here exact) vs COUNT(DISTINCT)."""
+    prof = profile_dataset(_read(sf_dir, "lineitem"), ProfileConfig(
+        columns=["l_orderkey", "l_partkey", "l_suppkey"]))
+    v = {x["name"]: x for x in prof["variables"]}
+    return pa.table({
+        "n_orderkeys": pa.array([v["l_orderkey"]["n_distinct"]], pa.int64()),
+        "n_partkeys": pa.array([v["l_partkey"]["n_distinct"]], pa.int64()),
+        "n_suppkeys": pa.array([v["l_suppkey"]["n_distinct"]], pa.int64()),
+    })
+
+
+def revenue_by_segment(sf_dir: str) -> pa.Table:
+    """Broadcast hash join: the small customer→segment map rides to every
+    task via ``ray.put`` (one object-store copy), orders stream through a
+    stateless lookup + per-batch partial aggregation — no shuffle of the
+    big side (SURVEY.md §2.4 J3 pattern generalized to an equi-join)."""
+    import ray as _ray
+    cust = _tbl(_read(sf_dir, "customer")
+                .select_columns(["c_custkey", "c_mktsegment"]))
+    seg_map_ref = _ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                                    cust.column("c_mktsegment").to_pylist())))
+
+    class JoinAgg:
+        def __init__(self, ref):
+            self.seg = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            segs = np.array([self.seg.get(int(k)) for k in keys], dtype=object)
+            df = pd.DataFrame({"c_mktsegment": segs, "p": price})
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("p", "sum"), n_orders=("p", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = _tbl(_read(sf_dir, "orders")
+                 .select_columns(["o_custkey", "o_totalprice"])
+                 .map_batches(JoinAgg, fn_constructor_args=(seg_map_ref,),
+                              batch_format="pyarrow", concurrency=(1, 4)))
+    df = parts.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+    df["revenue"] = df["revenue"].round(2)
+    return pa.Table.from_pandas(df.sort_values("c_mktsegment"),
+                                preserve_index=False)
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
 
 
@@ -537,6 +585,8 @@ QUERIES = {
     "lang_distribution_documents": lang_distribution_documents,
     "dup_keys_events": dup_keys_events,
     "uniqueness_orders": uniqueness_orders,
+    "distinct_counts_lineitem": distinct_counts_lineitem,
+    "revenue_by_segment": revenue_by_segment,
     "ts_monotonicity_events": ts_monotonicity_events,
     "user_event_gaps": user_event_gaps,
     "sessionize_events": sessionize_events,
@@ -609,6 +659,15 @@ ORACLE_SQL = {
     "dup_keys_events": (
         "SELECT user_id, ts, COUNT(*) AS cnt FROM events "
         "GROUP BY user_id, ts HAVING COUNT(*) > 1"),
+    "distinct_counts_lineitem": (
+        "SELECT COUNT(DISTINCT l_orderkey) AS n_orderkeys, "
+        "COUNT(DISTINCT l_partkey) AS n_partkeys, "
+        "COUNT(DISTINCT l_suppkey) AS n_suppkeys FROM lineitem"),
+    "revenue_by_segment": (
+        "SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, "
+        "COUNT(*) AS n_orders FROM orders o JOIN customer c "
+        "ON o.o_custkey = c.c_custkey GROUP BY c_mktsegment "
+        "ORDER BY c_mktsegment"),
     "uniqueness_orders": (
         "SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS "
         "n_distinct_keys FROM orders"),

@@ -106,10 +106,9 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
 
         def _profile_job():
             t = time.time()
-            rows = list(profile_partials_by_part(ds, cfg.profile)
-                        .iter_batches(batch_format="pyarrow"))
+            tbl = profile_partials_by_part(ds, cfg.profile)
             timings["profile"] = time.time() - t
-            return pa.concat_tables(rows) if rows else None
+            return tbl if tbl.num_rows else None
 
         def _constraint_job():
             t = time.time()

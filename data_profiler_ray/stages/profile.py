@@ -100,33 +100,49 @@ def _merge_group(batch: pa.Table) -> pa.Table:
     })
 
 
-def _merge_group_keyed(batch: pa.Table) -> pa.Table:
-    """Per-partition merge: all rows in the group share one part value."""
-    rows, merged = _merge_states(batch.column("state").to_pylist())
-    payload = pickle.dumps((rows, merged), protocol=pickle.HIGHEST_PROTOCOL)
-    return pa.table({
-        "part": batch.column("part").slice(0, 1),
-        "rows": pa.array([rows], type=pa.int64()),
-        "state": pa.array([payload], type=pa.large_binary()),
-    })
-
-
 def profile_partials_by_part(ds: "ray.data.Dataset", config: ProfileConfig,
-                             part_column: str = "part") -> "ray.data.Dataset":
-    """Per-partition merged profile states: Dataset of (part, rows, state).
+                             part_column: str = "part") -> pa.Table:
+    """Per-partition merged profile states as a (part, rows, state) table.
 
     Used by the checkpointable validation pipeline — each partition's merged
-    accumulator bundle is a few KB and is persisted as that partition's
-    resumable profile checkpoint; the global profile is the driver-side merge
-    of all per-partition states (exactly the associative algebra of §2.5)."""
+    accumulator bundle (~1 MB of sketch state) is persisted as that
+    partition's resumable checkpoint; the global profile is the driver-side
+    merge of all per-partition states (the associative algebra of §2.5).
+
+    The per-part merge happens ON THE DRIVER, streaming over the partial
+    rows: a ``groupby(part)`` here would push the MB-sized state rows
+    through a full Ray sort exchange (measured 19.5 s for 132 MB of states
+    vs ~2 s streaming) — and the driver must hold one state per part anyway
+    to write the checkpoints, so the memory envelope is unchanged."""
     schema = ds.schema()
     arrow_schema = pa.schema([pa.field(n, t) for n, t in
                               zip(schema.names, schema.types)])
     partials = ds.map_batches(
         _PartialProfiler(arrow_schema, config, part_column=part_column),
         batch_format="pyarrow", batch_size=config.batch_size)
-    return partials.groupby("part").map_groups(
-        _merge_group_keyed, batch_format="pyarrow")
+    merged: dict[str, tuple[int, dict]] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for part, blob in zip(b.column("part").to_pylist(),
+                              b.column("state").to_pylist()):
+            rows, accs = pickle.loads(blob)
+            if part in merged:
+                prev_rows, prev = merged[part]
+                for name, acc in accs.items():
+                    if name in prev:
+                        prev[name].merge(acc)
+                    else:
+                        prev[name] = acc
+                merged[part] = (prev_rows + rows, prev)
+            else:
+                merged[part] = (rows, accs)
+    parts = sorted(merged)
+    return pa.table({
+        "part": pa.array(parts, pa.string()),
+        "rows": pa.array([merged[p][0] for p in parts], pa.int64()),
+        "state": pa.array(
+            [pickle.dumps(merged[p], protocol=pickle.HIGHEST_PROTOCOL)
+             for p in parts], pa.large_binary()),
+    })
 
 
 def profile_dataset(ds: "ray.data.Dataset", config: ProfileConfig | None = None,
