@@ -46,10 +46,16 @@ def profile_tabular(input_path: str | list[str] | "ray.data.Dataset",
 
 def profile_timeseries(input_path: str | list[str],
                        ts_mode_datetime_col: str, header: int | None = 0,
-                       sep: str = ",", **kwargs) -> dict:
+                       sep: str = ",", detect_timeseries: bool = True,
+                       ts_sample_rows: int = 100_000, **kwargs) -> dict:
     """Timeseries mode: chronological sort on the datetime column
     (reference utils.py:92-108); duplicate timestamps are kept and surface
-    in n_distinct/is_unique instead of being silently dropped."""
+    in n_distinct/is_unique instead of being silently dropped.
+
+    ``detect_timeseries``: relabel Numeric columns as ``TimeSeries`` when
+    autocorrelated (reference ``check_if_timedependent``,
+    utils.py:274-285 — threshold 0.1 at lags [1,7,12,24,30]); the probe
+    runs on a bounded ordered head sample rather than the whole column."""
     ds = read_tabular(input_path, header=header, sep=sep,
                       ts_mode_datetime_col=ts_mode_datetime_col)
     cfg = ProfileConfig(**{k: v for k, v in kwargs.items()
@@ -57,6 +63,25 @@ def profile_timeseries(input_path: str | list[str],
     prof = profile_dataset(ds, cfg, filenames=[input_path] if
                            isinstance(input_path, str) else list(input_path))
     prof["table"]["profiler_type"] = "TimeSeries"
+    if detect_timeseries:
+        from .stages.timeseries import is_time_dependent
+        numeric_cols = [v["name"] for v in prof["variables"]
+                        if v["type"] == "Numeric"]
+        if numeric_cols:
+            import pyarrow as pa
+            head = pa.concat_tables(list(
+                ds.select_columns(numeric_cols).limit(ts_sample_rows)
+                .iter_batches(batch_format="pyarrow")))
+            for v in prof["variables"]:
+                if v["name"] in numeric_cols:
+                    x = head.column(v["name"]).to_numpy(zero_copy_only=False)
+                    if is_time_dependent(x):
+                        v["type"] = "TimeSeries"
+            counts: dict[str, int] = {}
+            for v in prof["variables"]:
+                counts[v["type"]] = counts.get(v["type"], 0) + 1
+            prof["table"]["types"] = [
+                {"type": k, "count": c} for k, c in sorted(counts.items())]
     return prof
 
 

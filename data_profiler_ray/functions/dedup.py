@@ -172,9 +172,10 @@ def minhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
         batch_format="pyarrow", concurrency=concurrency or (1, 8))
     pairs = banded.groupby(["band", "bucket"]).map_groups(
         _pairs_from_buckets, batch_format="pyarrow")
-    # distinct pairs (same pair can surface from several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # NOTE: the same pair can surface from several bands; consumers dedupe
+    # the (small) pair set driver-side — a distributed distinct here would
+    # cost a second full groupby for rows that are o(duplicates)
+    return pairs
 
 
 def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
@@ -186,6 +187,10 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
     scan), their shingle sets built once, pairs scored on the driver —
     driver work is O(#pairs), not O(corpus).
     """
+    if pairs.num_rows:
+        # candidates may repeat across LSH bands; dedupe driver-side (o(pairs))
+        pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+        pairs = pa.Table.from_pandas(pdf, preserve_index=False)
     wanted = np.unique(np.concatenate([
         pairs.column("id_a").to_numpy(zero_copy_only=False),
         pairs.column("id_b").to_numpy(zero_copy_only=False)])) if pairs.num_rows \
@@ -347,10 +352,8 @@ def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
                          "id_b": pa.array(ids[iu[1]][keep], pa.int64()),
                          "hamming": pa.array(ham[keep], pa.int32())})
 
-    cand = banded.groupby(["band", "bucket"]).map_groups(
+    return banded.groupby(["band", "bucket"]).map_groups(
         pairs, batch_format="pyarrow")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -457,7 +457,12 @@ def minhash_dedup_documents(sf_dir: str) -> pa.Table:
 
 
 def simhash_candidates_documents(sf_dir: str) -> pa.Table:
-    return _tbl(simhash_candidates(_read(sf_dir, "documents")))
+    tbl = _tbl(simhash_candidates(_read(sf_dir, "documents")))
+    if tbl.num_rows == 0:
+        return tbl
+    df = tbl.to_pandas().drop_duplicates(["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def embedding_dup_pairs_query(sf_dir: str) -> pa.Table:

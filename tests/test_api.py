@@ -136,3 +136,20 @@ def test_profile_hierarchical(tmp_path):
     v = {x["name"]: x for x in prof["variables"]}
     assert v["id"]["uniqueness_ratio"] == 1.0
     assert v["user.address.city"]["uniqueness_ratio"] < 0.1
+
+
+def test_profile_timeseries_detects_timedependence(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame({
+        "when": pd.date_range("2025-01-01", periods=n, freq="h"),
+        "seasonal": np.sin(np.arange(n) * 2 * np.pi / 24)
+        + rng.standard_normal(n) * 0.1,
+        "noise": rng.standard_normal(n),
+    })
+    p = str(tmp_path / "ts2.parquet")
+    df.to_parquet(p, index=False)
+    prof = profile_timeseries(p, ts_mode_datetime_col="when")
+    v = {x["name"]: x for x in prof["variables"]}
+    assert v["seasonal"]["type"] == "TimeSeries"
+    assert v["noise"]["type"] == "Numeric"
