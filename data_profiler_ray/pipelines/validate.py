@@ -118,12 +118,28 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             timings["constraints"] = time.time() - t
             return tbl
 
+        # two concurrent executions would EACH schedule up to the full CPU
+        # count (2× oversubscription); cap the shared execution budget so
+        # combined in-flight tasks ≈ cluster CPUs
+        from ray.data import DataContext
+        from ray.data._internal.execution.interfaces import ExecutionResources
+        ctx = DataContext.get_current()
+        prev_limits = ctx.execution_options.resource_limits
+        try:
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            ctx.execution_options.resource_limits = ExecutionResources(
+                cpu=max(n_cpus // 2, 1))
+        except Exception:
+            prev_limits = None
+
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_prof = pool.submit(_profile_job)
             f_con = pool.submit(_constraint_job)
             states = f_prof.result()
             cc_tbl = f_con.result()
+        if prev_limits is not None:
+            ctx.execution_options.resource_limits = prev_limits
         violations, verdicts = split_verdicts(cc_tbl)
         violations = violations.cast(VIOLATION_SCHEMA)
         prof_s = timings.get("profile", time.time() - t0w)

@@ -436,31 +436,40 @@ def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
 
     checked = narrow.sort([cfg.group_column, cfg.order_column]).map_batches(
         _BlockChecker(cfg, emit_row_violations=emit_row_violations),
-        batch_format="pyarrow",
-        batch_size=None).materialize()  # output is o(input): verdicts+violations
+        batch_format="pyarrow", batch_size=None)
 
-    def keep_main(b: pa.Table) -> pa.Table:
-        return b.filter(pc.not_equal(b.column("kind"), "__boundary__"))
+    # The checker's output is o(input) (verdicts + violations + the raw rows
+    # of the ≤2 possibly-cut conversations per block). Collect it and run
+    # the exact re-check of boundary conversations ON THE DRIVER — a second
+    # distributed groupby for o(#blocks · conv_len) rows costs more in sort
+    # machinery than it saves.
+    tbls = [t.cast(VIOLATION_SCHEMA)
+            for t in checked.iter_batches(batch_format="pyarrow")]
+    all_rows = (pa.concat_tables(tbls) if tbls else _empty_violations())
+    is_boundary = pc.equal(all_rows.column("kind"), "__boundary__")
+    main = all_rows.filter(pc.invert(is_boundary))
+    boundary = all_rows.filter(is_boundary)
 
-    def keep_boundary(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b.column("kind"), "__boundary__"))
-
-    main = checked.map_batches(keep_main, batch_format="pyarrow")
-    boundary = checked.map_batches(keep_boundary, batch_format="pyarrow")
-    role_arr = pa.array(sorted(role_set), pa.string())
-    tool_arr = (pa.array(sorted(tool_set), pa.string())
-                if tool_set is not None else None)
-
-    def check_boundary_group(g: pa.Table) -> pa.Table:
-        dec = _decode_boundary(cfg, g)
-        tbls = [_check_conversation(dec, cfg, role_set, tool_set)]
-        if emit_row_violations:
-            tbls.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
-        return pa.concat_tables(tbls)
-
-    fixed = boundary.groupby("conv_id").map_groups(
-        check_boundary_group, batch_format="pyarrow")
-    return main.union(fixed)
+    out = [main]
+    if boundary.num_rows:
+        role_arr = pa.array(sorted(role_set), pa.string())
+        tool_arr = (pa.array(sorted(tool_set), pa.string())
+                    if tool_set is not None else None)
+        codes = pc.dictionary_encode(
+            boundary.column("conv_id").combine_chunks())
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        sorted_b = boundary.take(pa.array(order))
+        idx_s = idx[order]
+        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+        ends = np.append(starts[1:], len(idx_s))
+        for s, e in zip(starts, ends):
+            dec = _decode_boundary(cfg, sorted_b.slice(int(s), int(e - s)))
+            out.append(_check_conversation(dec, cfg, role_set, tool_set))
+            if emit_row_violations:
+                out.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
+    result = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in out])
+    return ray.data.from_arrow(result)
 
 
 def split_verdicts(all_rows: pa.Table) -> tuple[pa.Table, pa.Table]:
