@@ -417,6 +417,19 @@ def sessionize_events(sf_dir: str) -> pa.Table:
         [("user_id", "ascending"), ("session_id", "ascending")])
 
 
+def rolling_avg_events(sf_dir: str) -> pa.Table:
+    """Trailing-5-row rolling mean per user (windowed aggregate custom op)."""
+    from ..functions.joins import rolling_window
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "value"])
+    out = _tbl(rolling_window(ds, "user_id", ["ts", "event_id"],
+                              "value", window=5))
+    df = out.to_pandas()[["user_id", "event_id", "value_rolling_mean"]]
+    df["value_rolling_mean"] = df["value_rolling_mean"].round(_R)
+    return pa.Table.from_pandas(
+        df.sort_values(["user_id", "event_id"]), preserve_index=False)
+
+
 def referential_orders_customers(sf_dir: str) -> pa.Table:
     """Broadcast anti-join: customer keys via ray.put, pc.is_in probe (J3)."""
     import ray as _ray
@@ -595,6 +608,7 @@ QUERIES = {
     "ts_monotonicity_events": ts_monotonicity_events,
     "user_event_gaps": user_event_gaps,
     "sessionize_events": sessionize_events,
+    "rolling_avg_events": rolling_avg_events,
     "referential_orders_customers": referential_orders_customers,
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -689,6 +703,11 @@ ORACLE_SQL = {
         "(SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
         "GROUP BY user_id ORDER BY user_id"),
+    "rolling_avg_events": (
+        "SELECT user_id, event_id, ROUND(AVG(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_rolling_mean "
+        "FROM events ORDER BY user_id, event_id"),
     "sessionize_events": (
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
         "MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us, "
