@@ -191,3 +191,35 @@ def test_datetime_accumulator():
     assert r["start"].startswith("2024-01-01T00:00")
     assert r["end"].startswith("2024-01-05T03:00")
     assert r["n_distinct"] == 100
+
+
+def test_numeric_accumulator_sketch_path_high_cardinality():
+    """Past the counter cap the accumulator must degrade to sketches with
+    bounded error AND bounded state size (the 100 TB safety property)."""
+    import pickle
+    from data_profiler_ray.state.column import NumericAccumulator
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(600_000) * 100  # ~600k distinct floats
+    acc = NumericAccumulator("x")
+    for chunk in np.array_split(x, 24):
+        acc.update(pa.array(chunk))
+    # merge in a second accumulator to exercise overflowed-merge
+    acc2 = NumericAccumulator("x")
+    acc2.update(pa.array(rng.standard_normal(100_000) * 100))
+    acc.merge(acc2)
+    res = acc.result()
+    full = np.concatenate([x, np.asarray([])])
+    assert res["count"] == 700_000
+    assert not res["distinct_is_exact"]
+    # HLL distinct within 3%
+    assert abs(res["n_distinct"] - 700_000) / 700_000 < 0.03
+    # exact moments regardless of cardinality
+    assert res["mean"] == pytest.approx(
+        np.concatenate([x, acc2.moments.vsum / acc2.moments.n * np.ones(0)]).mean(),
+        abs=1.0)  # sanity scale check only
+    # KLL quantiles within ~1% rank error
+    assert abs(res["median"]) < 1.0
+    q95 = res["95%"]
+    assert 155 < q95 < 175  # N(0,100) 95th pct ≈ 164.5
+    # bounded state: sketch-backed accumulator must stay under 2 MB
+    assert len(pickle.dumps(acc)) < 2_000_000
