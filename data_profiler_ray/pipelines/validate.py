@@ -82,6 +82,13 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         else:
             pending.append(p)
 
+    # clear leftovers of crashed/partial runs for pending parts (workers
+    # write verdict files before the _DONE marker lands)
+    import shutil
+    for p in pending:
+        shutil.rmtree(os.path.join(out, "parts", _part_of(p)),
+                      ignore_errors=True)
+
     if pending:
         ds = ray.data.read_parquet(pending, include_paths=True)
         ds = ds.map_batches(_add_part_column, batch_format="pyarrow")
@@ -111,12 +118,25 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             return tbl if tbl.num_rows else None
 
         def _constraint_job():
+            """Consume the constraint stream WITHOUT materializing verdict
+            rows on the driver: verdict rows (O(#conversations)) are written
+            to per-partition parquet from the WORKERS (idempotent
+            content-hashed filenames, so task retries overwrite identically;
+            on a cluster this path would be shared/object storage), and only
+            per-part tally rows + the capped violation rows come back."""
             t = time.time()
             cc = conversation_checks(ds_narrow, ccfg,
-                                     emit_row_violations=True)
-            tbl = _concat(cc)
+                                     emit_row_violations=True).materialize()
+            viol = _concat(cc.map_batches(
+                lambda b: b.filter(pc.and_(
+                    pc.not_equal(b.column("kind"), "__verdict__"),
+                    pc.not_equal(b.column("kind"), "__boundary__"))),
+                batch_format="pyarrow"))
+            tallies = _concat_any(cc.map_batches(
+                _VerdictWriter(os.path.join(out, "parts")),
+                batch_format="pyarrow"))
             timings["constraints"] = time.time() - t
-            return tbl
+            return viol, tallies
 
         # two concurrent executions would EACH schedule up to the full CPU
         # count (2× oversubscription); cap the shared execution budget so
@@ -137,11 +157,19 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             f_prof = pool.submit(_profile_job)
             f_con = pool.submit(_constraint_job)
             states = f_prof.result()
-            cc_tbl = f_con.result()
+            violations, tally_tbl = f_con.result()
         if prev_limits is not None:
             ctx.execution_options.resource_limits = prev_limits
-        violations, verdicts = split_verdicts(cc_tbl)
         violations = violations.cast(VIOLATION_SCHEMA)
+        tallies_by_part: dict[str, dict] = {}
+        if tally_tbl.num_rows:
+            for r in tally_tbl.to_pylist():
+                agg = tallies_by_part.setdefault(
+                    r["part"], {"n_conversations": 0, "n_failed": 0,
+                                "n_turns": 0})
+                agg["n_conversations"] += r["n_conversations"]
+                agg["n_failed"] += r["n_failed"]
+                agg["n_turns"] += r["n_turns"]
         prof_s = timings.get("profile", time.time() - t0w)
         con_s = timings.get("constraints", time.time() - t0w)
 
@@ -161,19 +189,17 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
                 f.write(blob)
             pv = violations.filter(pc.equal(violations.column("part"), part))
             pq.write_table(pv, os.path.join(pdir, "violations.parquet"))
-            pverd = verdicts.filter(pc.equal(verdicts.column("part"), part))
-            pq.write_table(pverd, os.path.join(pdir, "verdicts.parquet"))
             kinds = pv.column("kind").to_pylist()
+            tal = tallies_by_part.get(
+                part, {"n_conversations": 0, "n_failed": 0, "n_turns": 0})
             lineage = {
                 "part": part,
                 "input_path": path,
                 "rows_in": rows,
-                "n_conversations": pverd.num_rows,
+                "n_conversations": tal["n_conversations"],
                 "n_violations": pv.num_rows,
                 "violations_by_kind": {k: kinds.count(k) for k in set(kinds)},
-                "n_failed_conversations": int(
-                    pc.sum(pc.cast(pc.invert(pverd.column("passed")),
-                                   pa.int64())).as_py() or 0),
+                "n_failed_conversations": tal["n_failed"],
                 "passed": pv.num_rows == 0,
                 "state_digest": hashlib.sha256(blob).hexdigest()[:16],
                 "profile_stage_s": round(prof_s, 3),
@@ -186,7 +212,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
                 f.write("ok")
 
     # --- final merge across ALL partitions (done + fresh) ---
-    blobs, lineages, verdict_tbls = [], [], []
+    blobs, lineages = [], []
     for path in shards:
         part = _part_of(path)
         pdir = os.path.join(out, "parts", part)
@@ -194,15 +220,24 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             blobs.append(f.read())
         with open(os.path.join(pdir, "lineage.json")) as f:
             lineages.append(json.load(f))
-        verdict_tbls.append(pq.read_table(os.path.join(pdir, "verdicts.parquet")))
 
     total_rows, merged = _merge_states(blobs)
     profile = finalize_profile(total_rows, merged, cfg.profile, t0,
                                filenames=shards)
-    all_verdicts = pa.concat_tables(verdict_tbls)
-    pq.write_table(all_verdicts, os.path.join(out, "verdicts.parquet"))
     with open(os.path.join(out, "profile.json"), "w") as f:
         json.dump(profile, f, indent=2, default=str)
+
+    n_convs = sum(l["n_conversations"] for l in lineages)
+    n_failed = sum(l["n_failed_conversations"] for l in lineages)
+    # convenience single-file verdict rollup ONLY while small; at scale the
+    # partitioned parts/<part>/verdicts/*.parquet files ARE the output
+    if n_convs <= _VERDICT_ROLLUP_MAX_ROWS:
+        import glob as _glob
+        files = sorted(_glob.glob(
+            os.path.join(out, "parts", "*", "verdicts", "*.parquet")))
+        if files:
+            pq.write_table(pa.concat_tables([pq.read_table(f) for f in files]),
+                           os.path.join(out, "verdicts.parquet"))
 
     drift = None
     if baseline_profile is not None:
@@ -212,8 +247,6 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         with open(os.path.join(out, "drift.json"), "w") as f:
             json.dump(drift, f, indent=2)
 
-    n_failed = int(pc.sum(pc.cast(pc.invert(all_verdicts.column("passed")),
-                                  pa.int64())).as_py() or 0)
     summary = {
         "profile": profile,
         "drift": drift,
@@ -222,7 +255,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         "parts_recomputed": len(pending),
         "parts_skipped": len(done),
         "total_rows": total_rows,
-        "n_conversations": all_verdicts.num_rows,
+        "n_conversations": n_convs,
         "n_failed_conversations": n_failed,
         "n_violations": sum(l["n_violations"] for l in lineages),
         "passed": all(l["passed"] for l in lineages),
@@ -234,8 +267,66 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
     return summary
 
 
+_VERDICT_ROLLUP_MAX_ROWS = 5_000_000
+
+
+class _VerdictWriter:
+    """map_batches callable: decode the batch's verdict rows, write them to
+    ``<parts_root>/<part>/verdicts/v-<digest>.parquet`` from the worker, and
+    emit ONE tally row per part — the driver never sees verdict rows.
+
+    Filenames are content-hashed over the batch's conv_ids, so a retried
+    task overwrites its own file idempotently. Local-mode note: workers and
+    driver share the filesystem; on a multi-node cluster ``parts_root``
+    must be shared/object storage.
+    """
+
+    def __init__(self, parts_root: str):
+        self.parts_root = parts_root
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.constraints import split_verdicts
+        vrows = batch.filter(pc.equal(batch.column("kind"), "__verdict__"))
+        empty = pa.table({"part": pa.array([], pa.string()),
+                          "n_conversations": pa.array([], pa.int64()),
+                          "n_failed": pa.array([], pa.int64()),
+                          "n_turns": pa.array([], pa.int64())})
+        if vrows.num_rows == 0:
+            return empty
+        _, verdicts = split_verdicts(vrows)
+        parts, n_conv, n_fail, n_turn = [], [], [], []
+        for part in pc.unique(verdicts.column("part")).to_pylist():
+            sub = verdicts.filter(pc.equal(verdicts.column("part"), part))
+            pdir = os.path.join(self.parts_root, str(part), "verdicts")
+            os.makedirs(pdir, exist_ok=True)
+            digest = hashlib.md5(
+                "".join(sub.column("conv_id").to_pylist()).encode()
+            ).hexdigest()[:16]
+            pq.write_table(sub, os.path.join(pdir, f"v-{digest}.parquet"))
+            parts.append(part)
+            n_conv.append(sub.num_rows)
+            n_fail.append(int(pc.sum(pc.cast(pc.invert(sub.column("passed")),
+                                             pa.int64())).as_py() or 0))
+            n_turn.append(int(pc.sum(sub.column("n_turns")).as_py() or 0))
+        return pa.table({"part": pa.array(parts, pa.string()),
+                         "n_conversations": pa.array(n_conv, pa.int64()),
+                         "n_failed": pa.array(n_fail, pa.int64()),
+                         "n_turns": pa.array(n_turn, pa.int64())})
+
+
 def _concat(ds: "ray.data.Dataset") -> pa.Table:
     tables = list(ds.iter_batches(batch_format="pyarrow"))
     if not tables:
         return VIOLATION_SCHEMA.empty_table()
     return pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in tables])
+
+
+def _concat_any(ds: "ray.data.Dataset") -> pa.Table:
+    tables = [t for t in ds.iter_batches(batch_format="pyarrow")
+              if t.num_rows]
+    if not tables:
+        return pa.table({"part": pa.array([], pa.string()),
+                         "n_conversations": pa.array([], pa.int64()),
+                         "n_failed": pa.array([], pa.int64()),
+                         "n_turns": pa.array([], pa.int64())})
+    return pa.concat_tables(tables)

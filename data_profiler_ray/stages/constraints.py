@@ -436,21 +436,20 @@ def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
 
     checked = narrow.sort([cfg.group_column, cfg.order_column]).map_batches(
         _BlockChecker(cfg, emit_row_violations=emit_row_violations),
-        batch_format="pyarrow", batch_size=None)
+        batch_format="pyarrow", batch_size=None).materialize()
+    # `checked` is o(input) but NOT O(1): one verdict row per conversation.
+    # It stays DISTRIBUTED (materialized into the object store); only the
+    # ≤2 possibly-cut conversations per block (`__boundary__` raw rows,
+    # o(#blocks · conv_len)) are pulled to the driver for the exact re-check
+    # — cheaper than a second distributed groupby in sort machinery.
+    boundary_tbls = [
+        t.cast(VIOLATION_SCHEMA) for t in checked.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), "__boundary__")),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    boundary = (pa.concat_tables(boundary_tbls) if boundary_tbls
+                else _empty_violations())
 
-    # The checker's output is o(input) (verdicts + violations + the raw rows
-    # of the ≤2 possibly-cut conversations per block). Collect it and run
-    # the exact re-check of boundary conversations ON THE DRIVER — a second
-    # distributed groupby for o(#blocks · conv_len) rows costs more in sort
-    # machinery than it saves.
-    tbls = [t.cast(VIOLATION_SCHEMA)
-            for t in checked.iter_batches(batch_format="pyarrow")]
-    all_rows = (pa.concat_tables(tbls) if tbls else _empty_violations())
-    is_boundary = pc.equal(all_rows.column("kind"), "__boundary__")
-    main = all_rows.filter(pc.invert(is_boundary))
-    boundary = all_rows.filter(is_boundary)
-
-    out = [main]
+    fixed: list[pa.Table] = []
     if boundary.num_rows:
         role_arr = pa.array(sorted(role_set), pa.string())
         tool_arr = (pa.array(sorted(tool_set), pa.string())
@@ -465,11 +464,18 @@ def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
         ends = np.append(starts[1:], len(idx_s))
         for s, e in zip(starts, ends):
             dec = _decode_boundary(cfg, sorted_b.slice(int(s), int(e - s)))
-            out.append(_check_conversation(dec, cfg, role_set, tool_set))
+            fixed.append(_check_conversation(dec, cfg, role_set, tool_set))
             if emit_row_violations:
-                out.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
-    result = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in out])
-    return ray.data.from_arrow(result)
+                fixed.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
+
+    main = checked.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("kind"), "__boundary__"))
+        .cast(VIOLATION_SCHEMA),
+        batch_format="pyarrow")
+    if fixed:
+        fixed_tbl = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in fixed])
+        return main.union(ray.data.from_arrow(fixed_tbl))
+    return main
 
 
 def split_verdicts(all_rows: pa.Table) -> tuple[pa.Table, pa.Table]:
