@@ -161,13 +161,18 @@ def profile_dataset(ds: "ray.data.Dataset", config: ProfileConfig | None = None,
         batch_format="pyarrow",
         batch_size=config.batch_size,
     )
-    # tree reduction: a second map_batches coalesces up to merge_shards
+    # tree reduction: map_batches levels coalesce up to merge_shards
     # partial-state rows per task (batch_size spans block boundaries, no
-    # shuffle/sort op needed), then a tiny driver-side final merge. Shuffle
-    # volume is o(input): each partial row is a few KB of sketch state per
-    # column regardless of block size.
+    # shuffle/sort op needed), REPEATED until at most merge_shards states
+    # remain for the driver — logarithmic depth, so 10^6 input blocks give
+    # the driver ~32 states, not 31k. Shuffle volume is o(input): each
+    # partial row is sketch state of bounded size regardless of block size.
+    fan_in = max(config.merge_shards, 2)
     reduced = partials.map_batches(_merge_group, batch_format="pyarrow",
-                                   batch_size=max(config.merge_shards, 2))
+                                   batch_size=fan_in).materialize()
+    while reduced.count() > fan_in:
+        reduced = reduced.map_batches(_merge_group, batch_format="pyarrow",
+                                      batch_size=fan_in).materialize()
     final_blobs = [r["state"] for r in reduced.take_all()]
     total_rows, merged = _merge_states(final_blobs)
     if not merged:  # empty input: still emit one typed variable per column

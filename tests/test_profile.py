@@ -97,3 +97,17 @@ def test_types_dict_override(sf_dir):
         ds, ProfileConfig(types_dict={"r_name": "Textual"}, merge_shards=2))
     v = next(v for v in prof["variables"] if v["name"] == "r_name")
     assert v["type"] == "Textual"
+
+
+def test_tree_reduction_multiple_levels(sf_dir):
+    """merge_shards=2 on a many-block dataset forces several reduction
+    levels; the result must equal the single-level path."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").repartition(16)
+    prof = profile_dataset(ds, ProfileConfig(columns=["l_quantity"],
+                                             merge_shards=2))
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    v = prof["variables"][0]
+    assert v["count"] == len(pdf)
+    assert v["mean"] == pytest.approx(pdf["l_quantity"].mean())
+    assert v["n_distinct"] == pdf["l_quantity"].nunique()
+    assert v["median"] == pytest.approx(pdf["l_quantity"].median())
