@@ -248,9 +248,13 @@ class _BlockChecker:
       possibly-cut conversations exactly.
     """
 
-    def __init__(self, cfg: ConstraintConfig, emit_row_violations: bool = False):
+    def __init__(self, cfg: ConstraintConfig, emit_row_violations: bool = False,
+                 assume_complete: bool = False):
         self.cfg = cfg
         self.emit_row_violations = emit_row_violations
+        # assume_complete: every conversation is fully contained in the
+        # batch (hash-bucketed input) — no boundary re-emission needed
+        self.assume_complete = assume_complete
         self.role_set = set(cfg.role_domain)
         self.tool_set = set(cfg.tool_registry) if cfg.tool_registry else None
         self.role_arr = pa.array(sorted(self.role_set), pa.string())
@@ -263,6 +267,11 @@ class _BlockChecker:
         if n == 0:
             return _empty_violations()
         batch = batch.combine_chunks()
+        if self.assume_complete:
+            # bucket path: rows arrive grouped but unsorted — sort locally
+            order = pc.sort_indices(batch, sort_keys=[
+                ("conv_id", "ascending"), (cfg.order_column, "ascending")])
+            batch = batch.take(order)
         conv = batch.column("conv_id")
         codes_arr = pc.dictionary_encode(conv)
         if isinstance(codes_arr, pa.ChunkedArray):
@@ -316,8 +325,9 @@ class _BlockChecker:
             clean_turns = n_dup == 0
 
         boundary = np.zeros(g_count, dtype=bool)
-        boundary[0] = True
-        boundary[g_count - 1] = True
+        if not self.assume_complete:
+            boundary[0] = True
+            boundary[g_count - 1] = True
         anomalous = ~boundary & (~clean_turns | (n_reg > 0))
         clean = ~boundary & ~anomalous
 
@@ -326,7 +336,10 @@ class _BlockChecker:
         if self.emit_row_violations:
             # row-local violations for interior rows only; boundary groups
             # get theirs in the exact second pass (no double-emission)
-            lo, hi = int(ends[0]), int(starts[g_count - 1])
+            if self.assume_complete:
+                lo, hi = 0, n
+            else:
+                lo, hi = int(ends[0]), int(starts[g_count - 1])
             if hi > lo:
                 interior = batch.slice(lo, hi - lo)
                 out_tables.extend(_row_violation_rows(
@@ -358,9 +371,10 @@ class _BlockChecker:
                                                   self.tool_set))
 
         # boundary groups → re-emit raw rows for the exact second pass
-        for g in np.unique([0, g_count - 1]):
-            sub = batch.slice(int(starts[g]), int(lens[g]))
-            out_tables.append(self._encode_boundary(sub))
+        if not self.assume_complete:
+            for g in np.unique([0, g_count - 1]):
+                sub = batch.slice(int(starts[g]), int(lens[g]))
+                out_tables.append(self._encode_boundary(sub))
 
         return pa.concat_tables(out_tables) if out_tables else _empty_violations()
 
@@ -401,6 +415,56 @@ def _decode_boundary(cfg: ConstraintConfig, group: pa.Table) -> pa.Table:
     if detail.null_count < len(detail):
         cols[cfg.ts_column] = detail.cast(pa.int64()).cast(pa.timestamp("us"))
     return pa.table(cols)
+
+
+def conversation_checks_bucketed(ds: "ray.data.Dataset",
+                                 cfg: ConstraintConfig,
+                                 emit_row_violations: bool = False,
+                                 num_buckets: int | None = None
+                                 ) -> "ray.data.Dataset":
+    """Hash-shuffle variant (the north rule's literal shape): bucket =
+    hash(conv_id) % B → ``groupby(bucket)`` co-locates every conversation
+    whole → per-bucket local sort + the same vectorized kernel with
+    ``assume_complete=True`` — NO global sort coordination and NO boundary
+    second pass. B defaults to 2× cluster CPUs (per-group Python overhead
+    is paid only B times). Hot conversations: a conversation always lands
+    in one bucket; per-turn-local checks could be salted
+    ``(conv_id, turn_idx % k)``, but duplicate/gap detection needs the
+    whole turn set, so bucket size is bounded instead by B ≫ 1 and Ray's
+    sort-based groupby spilling (SURVEY.md §7.3).
+
+    Measured (2M turns, 8 CPUs, local): ~35 s vs ~10 s for the sorted path
+    — Ray's groupby is itself sort-based, so bucketing only adds the
+    conv-hash pass and loses the boundary trick's cheap kernels; the sorted
+    ``conversation_checks`` stays the default. This variant remains the
+    right shape when inputs are ALREADY hash-bucketed on conv_id at write
+    time (no shuffle at all: ``groupby`` collapses to per-file groups)."""
+    import pandas as pd
+    cols = [cfg.group_column, cfg.order_column]
+    names = ds.schema().names
+    for c in (cfg.ts_column, cfg.role_column, cfg.tool_column, "part"):
+        if c in names:
+            cols.append(c)
+    narrow = ds.select_columns(cols)
+    if num_buckets is None:
+        num_buckets = 2 * int(ray.cluster_resources().get("CPU", 8))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        conv = b.column(cfg.group_column)
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        h = pd.util.hash_array(np.asarray(conv.to_pylist(), dtype=object))
+        return b.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int32)))
+
+    checker = _BlockChecker(cfg, emit_row_violations=emit_row_violations,
+                            assume_complete=True)
+
+    def check_bucket(group: pa.Table) -> pa.Table:
+        return checker(group.drop_columns(["__bucket"]))
+
+    return narrow.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(check_bucket, batch_format="pyarrow")
 
 
 def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,

@@ -109,3 +109,32 @@ def test_turn_gap_detection_exact(cfg):
     v = verdicts.to_pandas().set_index("conv_id")
     assert not v.loc["c1", "passed"]
     assert v.loc["c2", "passed"]
+
+
+def test_bucketed_checks_match_sorted_path(dirty_transcripts_dir, cfg):
+    from data_profiler_ray.stages.constraints import conversation_checks_bucketed
+    ds = ray.data.read_parquet(dirty_transcripts_dir)
+    v1, d1 = split_verdicts(_collect(conversation_checks(ds, cfg)))
+    v2, d2 = split_verdicts(_collect(conversation_checks_bucketed(ds, cfg)))
+    a = d1.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = d2.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    va = v1.to_pandas().sort_values(["kind", "conv_id", "turn_idx"]).reset_index(drop=True)
+    vb = v2.to_pandas().sort_values(["kind", "conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(va[["kind", "conv_id", "turn_idx"]],
+                                  vb[["kind", "conv_id", "turn_idx"]])
+
+
+def test_bucketed_checks_with_row_violations(dirty_transcripts_dir, cfg):
+    from data_profiler_ray.stages.constraints import conversation_checks_bucketed
+    ds = ray.data.read_parquet(dirty_transcripts_dir)
+    out = _collect(conversation_checks_bucketed(ds, cfg,
+                                                emit_row_violations=True))
+    viol, verd = split_verdicts(out)
+    pdf = pd.read_parquet(dirty_transcripts_dir)
+    vdf = viol.to_pandas()
+    bad_role = pdf[~pdf["role"].isin(cfg.role_domain)]
+    assert len(vdf[vdf["kind"] == "bad_role"]) == len(bad_role)
+    dangling = pdf[pdf["tool"].notna()
+                   & ~pdf["tool"].isin(cfg.tool_registry)]
+    assert len(vdf[vdf["kind"] == "dangling_tool"]) == len(dangling)
