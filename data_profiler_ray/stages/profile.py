@@ -27,8 +27,6 @@ import ray.data
 from ..config import ProfileConfig
 from ..state.column import ColumnAccumulator, make_accumulator
 
-_SHARD_COUNTER = 0
-
 
 class _PartialProfiler:
     """map_batches callable: fold one Arrow batch into fresh accumulators and
@@ -56,8 +54,6 @@ class _PartialProfiler:
         return pickle.dumps((len(batch), accs), protocol=pickle.HIGHEST_PROTOCOL)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        global _SHARD_COUNTER
-        _SHARD_COUNTER += 1
         if self.part_column is None:
             return pa.table({
                 "rows": pa.array([len(batch)], type=pa.int64()),
