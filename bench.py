@@ -88,6 +88,14 @@ def main() -> dict:
     timed("pricing_summary", lambda: Q.pricing_summary(SF_DIR))
     timed("events_constraints", lambda: Q.ts_monotonicity_events(SF_DIR))
     timed("minhash_dedup_documents", lambda: Q.minhash_dedup_documents(SF_DIR))
+
+    # dedup at real scale: 100k synthetic docs (driver documents table is
+    # only 500 rows at every sf)
+    from data_profiler_ray.functions.dedup import minhash_dedup
+    from data_profiler_ray.synthetic import documents_path
+    docs_dir = documents_path(100_000, seed=42, dup_frac=0.02)
+    timed("minhash_dedup_100k_docs", lambda: minhash_dedup(
+        ray.data.read_parquet(docs_dir), threshold=0.7))
     timed("knn_embeddings", lambda: Q.knn_embeddings(SF_DIR))
     timed("token_quality_documents", lambda: Q.quality_scores_documents(SF_DIR))
 

@@ -127,15 +127,20 @@ class _DistinctMixin:
         if len(valid) == 0:
             return
         vc = valid.value_counts()
-        vals = vc.field("values").to_pylist()
+        vals_arr = vc.field("values")
+        vals = vals_arr.to_pylist()
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
-        self.hll.update(np.asarray(vals, dtype=object))
+        # hash the distinct values ONCE (vectorized) — feeds both the HLL
+        # and the long-string key compression below
+        h = hash64(np.asarray(vals, dtype=object))
+        self.hll.update_hashes(h)
         key_cap = getattr(self, "_LONG_KEY", 0)
         if key_cap:
-            import hashlib
+            # long values keyed as prefix + 64-bit hash hex: bounded state
+            # bytes, collision odds ~n²/2⁶⁵ per prefix bucket
             vals = [v if not isinstance(v, str) or len(v) <= key_cap
-                    else v[:key_cap - 16] + hashlib.md5(v.encode()).hexdigest()[:16]
-                    for v in vals]
+                    else f"{v[:key_cap - 16]}{hv:016x}"
+                    for v, hv in zip(vals, h)]
         self.counter.update_counts(vals, counts)
 
     def _merge_distinct(self, other) -> None:

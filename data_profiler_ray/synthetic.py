@@ -165,3 +165,47 @@ def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/dpr_transcr
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+def synth_documents(n_docs: int, seed: int = 42, avg_words: int = 60,
+                    dup_frac: float = 0.02) -> "pa.Table":
+    """Deterministic synthetic document corpus with planted near-duplicates
+    (for dedup benchmarks at scales the driver tables don't reach)."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(avg_words // 2, avg_words * 2, size=n_docs)
+    picks = rng.integers(0, len(_WORDS), size=int(lens.sum()))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    words = _WORDS[picks]
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)]
+    k = int(n_docs * dup_frac)
+    if k:
+        src = rng.choice(n_docs, size=k, replace=False)
+        for j, i in enumerate(src):
+            t = texts[int(i)].split()
+            if len(t) > 2:
+                t[-1] = "altered"
+            texts.append(" ".join(t))
+    return pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def documents_path(n_docs: int, seed: int = 42,
+                   root: str = "/tmp/dpr_docs", **knobs) -> str:
+    key = f"n{n_docs}_s{seed}" + "".join(
+        f"_{k}{v}" for k, v in sorted(knobs.items()) if v)
+    out = os.path.join(root, key)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = synth_documents(n_docs, seed=seed, **knobs)
+        per = max((tbl.num_rows + 15) // 16, 1)
+        for s_ in range(16):
+            chunk = tbl.slice(s_ * per, per)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(chunk, os.path.join(out, f"docs-{s_:05d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
