@@ -14,12 +14,13 @@ tabular_timeseries/variables/utils.py:105-107``):
 - **embedding cosine**: random-hyperplane LSH buckets → within-bucket
   pairwise cosine (brute-force inside buckets only).
 
-Scale shape: every stage is a ``map_batches`` over Arrow followed by a
-``groupby`` on a *bucket key* — the all-to-all exchange carries only
-(bucket, id, small-state) rows, never raw text; candidate pairs are verified
-against a filtered re-read of just the involved docs. Union-find for final
-cluster survivors runs on the driver over the PAIRS (size ~ number of
-duplicates, not corpus size).
+Scale shape: every stage is a ``map_batches`` over Arrow; bucket
+co-location is a sort + vectorized segment scan (the exchange carries only
+(bucket, id, small-state) rows, never raw text — and with ~1 bucket per doc
+per band, per-group ``map_groups`` overhead would dominate, measured 2.4×
+slower). Candidate pairs are verified against a filtered re-read of just
+the involved docs; union-find for final cluster survivors runs on the
+driver over the PAIRS (size ~ number of duplicates, not corpus size).
 """
 
 from __future__ import annotations
