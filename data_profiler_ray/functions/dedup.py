@@ -409,36 +409,115 @@ class SimHasher:
         })
 
 
+def _simhash_segment_pairs(tbl: pa.Table, max_hamming: int,
+                           skip_first_last: bool
+                           ) -> tuple[pa.Table, pa.Table]:
+    """Vectorized hamming-pair extraction over (band, bucket)-sorted rows;
+    returns (pairs, boundary_rows) like ``_segment_pairs``."""
+    n = tbl.num_rows
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    if n == 0:
+        return empty, tbl
+    band = tbl.column("band").to_numpy(zero_copy_only=False)
+    bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    sigs = tbl.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    lens = ends - starts
+    g_count = starts.size
+    boundary = np.zeros(g_count, dtype=bool)
+    if skip_first_last:
+        boundary[0] = boundary[g_count - 1] = True
+    a_p, b_p, h_p = [], [], []
+    for g in np.flatnonzero((lens >= 2) & ~boundary):
+        s, e = starts[g], ends[g]
+        uniq, idx = np.unique(ids[s:e], return_index=True)
+        if uniq.size < 2 or uniq.size > 256:
+            continue
+        sg = sigs[s:e][idx]
+        iu = np.triu_indices(uniq.size, k=1)
+        x = sg[iu[0]] ^ sg[iu[1]]
+        ham = np.array([bin(v).count("1") for v in x], dtype=np.int32)
+        keep = ham <= max_hamming
+        a_p.append(uniq[iu[0]][keep])
+        b_p.append(uniq[iu[1]][keep])
+        h_p.append(ham[keep])
+    pairs = (pa.table({"id_a": pa.array(np.concatenate(a_p), pa.int64()),
+                       "id_b": pa.array(np.concatenate(b_p), pa.int64()),
+                       "hamming": pa.array(np.concatenate(h_p), pa.int32())})
+             if a_p else empty)
+    if skip_first_last:
+        bnd_idx = (np.concatenate([np.arange(starts[0], ends[0]),
+                                   np.arange(starts[g_count - 1],
+                                             ends[g_count - 1])])
+                   if g_count > 1 else np.arange(starts[0], ends[0]))
+        boundary_rows = tbl.take(pa.array(np.unique(bnd_idx)))
+    else:
+        boundary_rows = tbl.slice(0, 0)
+    return pairs, boundary_rows
+
+
 def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
                        concurrency=None) -> "ray.data.Dataset":
-    """SimHash near-dup candidate pairs with hamming distance filter."""
+    """SimHash near-dup candidate pairs with hamming distance filter.
+
+    Same sorted-segment-scan shape as ``minhash_candidates`` (per-bucket
+    map_groups overhead dominates at ~1 bucket per doc per band)."""
     banded = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    srt = banded.repartition(min(max(2 * cpus, 8), 24)).sort(
+        ["band", "bucket"])
 
-    def pairs(group: pa.Table) -> pa.Table:
-        tbl = group.combine_chunks()
-        order = pc.sort_indices(tbl, sort_keys=[("id", "ascending")])
-        tbl = tbl.take(order)
-        ids = tbl.column("id").to_numpy(zero_copy_only=False)
-        sigs = tbl.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
-        uniq, idx = np.unique(ids, return_index=True)
-        ids, sigs = ids[idx], sigs[idx]
-        if ids.size < 2 or ids.size > 256:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int32())})
-        iu = np.triu_indices(ids.size, k=1)
-        x = sigs[iu[0]] ^ sigs[iu[1]]
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int32)
-        keep = ham <= max_hamming
-        return pa.table({"id_a": pa.array(ids[iu[0]][keep], pa.int64()),
-                         "id_b": pa.array(ids[iu[1]][keep], pa.int64()),
-                         "hamming": pa.array(ham[keep], pa.int32())})
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        pairs, bnd = _simhash_segment_pairs(batch.combine_chunks(),
+                                            max_hamming, skip_first_last=True)
+        marker_cols = {
+            "id_a": pa.array(np.full(bnd.num_rows, -1), pa.int64()),
+            "id_b": bnd.column("id").cast(pa.int64()),
+            "hamming": pa.nulls(bnd.num_rows, pa.int32()),
+            "band": bnd.column("band").cast(pa.int64()),
+            "bucket": bnd.column("bucket").cast(pa.int64()),
+            "sig": bnd.column("sig").cast(pa.int64()),
+        }
+        pairs = pairs.append_column("band", pa.nulls(pairs.num_rows, pa.int64()))
+        pairs = pairs.append_column("bucket", pa.nulls(pairs.num_rows, pa.int64()))
+        pairs = pairs.append_column("sig", pa.nulls(pairs.num_rows, pa.int64()))
+        return pa.concat_tables([pairs, pa.table(marker_cols)]) \
+            if bnd.num_rows else pairs
 
-    return banded.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pyarrow")
+    out = srt.map_batches(block_pairs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    tbls = list(out.iter_batches(batch_format="pyarrow"))
+    if not tbls:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int32())}))
+    rows = pa.concat_tables(tbls)
+    is_marker = pc.equal(rows.column("id_a"), -1)
+    pairs_tbl = rows.filter(pc.invert(is_marker)).select(
+        ["id_a", "id_b", "hamming"])
+    markers = rows.filter(is_marker)
+    if markers.num_rows:
+        btbl = pa.table({"band": markers.column("band"),
+                         "bucket": markers.column("bucket"),
+                         "id": markers.column("id_b"),
+                         "sig": markers.column("sig")})
+        order = pc.sort_indices(btbl, sort_keys=[("band", "ascending"),
+                                                 ("bucket", "ascending")])
+        bpairs, _ = _simhash_segment_pairs(btbl.take(order), max_hamming,
+                                           skip_first_last=False)
+        pairs_tbl = pa.concat_tables([pairs_tbl, bpairs])
+    return ray.data.from_arrow(pairs_tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -514,8 +593,63 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
 
 def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
                 id_col: str) -> "ray.data.Dataset":
-    """Hash-partition on the key → keep the min-id row per group (D1)."""
-    def keep_first(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        return group.take(order.slice(0, 1))
-    return ds.groupby(key_cols).map_groups(keep_first, batch_format="pyarrow")
+    """Keep the min-id row per key group (D1).
+
+    Shape: range-partition sort by (key..., id) → the min-id row of every
+    group is simply the FIRST row of its segment — one vectorized take per
+    block, zero per-group Python; groups cut at block edges are resolved
+    from the o(#blocks) boundary rows on the driver."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    srt = ds.repartition(min(max(2 * cpus, 8), 24)).sort(
+        list(key_cols) + [id_col])
+
+    def block_first(batch: pa.Table) -> pa.Table:
+        b = batch.combine_chunks()
+        n = b.num_rows
+        if n == 0:
+            return b.append_column("__edge", pa.array([], pa.bool_()))
+        change = np.ones(n, dtype=bool)
+        for c in key_cols:
+            col = b.column(c).to_numpy(zero_copy_only=False)
+            ch = np.empty(n, dtype=bool)
+            ch[0] = True
+            ch[1:] = col[1:] != col[:-1]
+            if c == key_cols[0]:
+                change = ch
+            else:
+                change |= ch
+        starts = np.flatnonzero(change)
+        keep = b.take(pa.array(starts))
+        # first and last group of the block may continue in neighbors
+        edge = np.zeros(starts.size, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return keep.append_column("__edge", pa.array(edge))
+
+    out = srt.map_batches(block_first, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    interior = out.map_batches(
+        lambda b: b.filter(pc.invert(b.column("__edge")))
+        .drop_columns(["__edge"]), batch_format="pyarrow")
+    edge_tbls = list(out.map_batches(
+        lambda b: b.filter(b.column("__edge")).drop_columns(["__edge"]),
+        batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    if edge_tbls:
+        e = pa.concat_tables(edge_tbls)
+        order = pc.sort_indices(e, sort_keys=[
+            (c, "ascending") for c in key_cols] + [(id_col, "ascending")])
+        e = e.take(order)
+        n = e.num_rows
+        change = np.ones(n, dtype=bool)
+        for c in key_cols:
+            col = e.column(c).to_numpy(zero_copy_only=False)
+            ch = np.empty(n, dtype=bool)
+            ch[0] = True
+            ch[1:] = col[1:] != col[:-1]
+            if c == key_cols[0]:
+                change = ch
+            else:
+                change |= ch
+        fixed = e.take(pa.array(np.flatnonzero(change)))
+        return interior.union(ray.data.from_arrow(fixed))
+    return interior
