@@ -54,17 +54,14 @@ def main(argv: list[str]) -> int:
         print("usage: python -m data_profiler_ray <config.json|json-string>",
               file=sys.stderr)
         return 2
+    # NOTE: no ray.init()/ray.shutdown() here — library code never owns a
+    # Ray session (CLAUDE.md invariant). Ray Data auto-initialises on first
+    # use when run standalone; session-owning entry points live in
+    # tools/cli.py (and bench.py / tests/conftest.py).
     config = read_config(argv[0])
-    import ray
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
     from .api import run_profile
-    try:
-        run_profile(config)
-        prepare_mapping(config)
-    finally:
-        ray.shutdown()
+    run_profile(config)
+    prepare_mapping(config)
     return 0
 
 

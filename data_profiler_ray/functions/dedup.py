@@ -32,8 +32,15 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .text import hash_string_array
+
+
 def _token_hashes(text: pa.Array):
-    """Lowercased whitespace tokens → stable 64-bit hashes (flat, offsets)."""
+    """Lowercased whitespace tokens → stable 64-bit hashes (flat, offsets).
+
+    Hashing runs over the flat token array's UTF-8 byte buffer
+    (``hash_string_array``) — no per-token Python objects in this hottest
+    dedup path (round-1 anti-pattern #3)."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
@@ -41,9 +48,7 @@ def _token_hashes(text: pa.Array):
         toks = toks.combine_chunks()
     flat = toks.flatten()
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object)
-                           ).astype(np.uint64)
-    return h, offsets
+    return hash_string_array(flat), offsets
 
 
 def _shingles_vectorized(tok_h: np.ndarray, offsets: np.ndarray, k: int = 3):
@@ -61,9 +66,15 @@ def _shingles_vectorized(tok_h: np.ndarray, offsets: np.ndarray, k: int = 3):
     with np.errstate(over="ignore"):
         acc = tok_h * mults[0]
         for j in range(1, k):
-            shifted = np.empty_like(tok_h)
+            shifted = np.zeros_like(tok_h)
             shifted[: n_tok - j] = tok_h[j:] * mults[j]
-            shifted[n_tok - j:] = 0
+            # zero contributions that cross a document boundary: without
+            # this, the single whole-doc window kept for docs shorter than
+            # k would XOR in the NEXT doc's leading tokens, making short-doc
+            # shingles depend on batch neighbors (nondeterministic dedup)
+            same_doc = np.zeros(n_tok, dtype=bool)
+            same_doc[: n_tok - j] = doc_of[j:] == doc_of[: n_tok - j]
+            shifted[~same_doc] = 0
             acc = acc ^ shifted
     # window starting at i is valid if i+k-1 is in the same doc
     start_doc = doc_of
@@ -591,6 +602,26 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
 # Exact dedup
 
 
+def _key_change_mask(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Null-safe per-row group-change mask over a key-sorted table.
+
+    numpy object comparison treats None != None and NaN != NaN as True,
+    which would make every null-keyed row its own group (diverging from the
+    SQL oracle's GROUP BY, which collapses NULLs); pandas ``ne`` + explicit
+    both-null handling keeps null keys in one group.
+    """
+    n = tbl.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in key_cols:
+        s = pd.Series(tbl.column(c).to_numpy(zero_copy_only=False))
+        prev = s.shift()
+        ch = (s.ne(prev) & ~(s.isna() & prev.isna())).to_numpy(dtype=bool)
+        change |= ch
+    change[0] = True
+    return change
+
+
 def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
                 id_col: str) -> "ray.data.Dataset":
     """Keep the min-id row per key group (D1).
@@ -608,17 +639,7 @@ def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
         n = b.num_rows
         if n == 0:
             return b.append_column("__edge", pa.array([], pa.bool_()))
-        change = np.ones(n, dtype=bool)
-        for c in key_cols:
-            col = b.column(c).to_numpy(zero_copy_only=False)
-            ch = np.empty(n, dtype=bool)
-            ch[0] = True
-            ch[1:] = col[1:] != col[:-1]
-            if c == key_cols[0]:
-                change = ch
-            else:
-                change |= ch
-        starts = np.flatnonzero(change)
+        starts = np.flatnonzero(_key_change_mask(b, key_cols))
         keep = b.take(pa.array(starts))
         # first and last group of the block may continue in neighbors
         edge = np.zeros(starts.size, dtype=bool)
@@ -639,17 +660,6 @@ def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
         order = pc.sort_indices(e, sort_keys=[
             (c, "ascending") for c in key_cols] + [(id_col, "ascending")])
         e = e.take(order)
-        n = e.num_rows
-        change = np.ones(n, dtype=bool)
-        for c in key_cols:
-            col = e.column(c).to_numpy(zero_copy_only=False)
-            ch = np.empty(n, dtype=bool)
-            ch[0] = True
-            ch[1:] = col[1:] != col[:-1]
-            if c == key_cols[0]:
-                change = ch
-            else:
-                change |= ch
-        fixed = e.take(pa.array(np.flatnonzero(change)))
+        fixed = e.take(pa.array(np.flatnonzero(_key_change_mask(e, key_cols))))
         return interior.union(ray.data.from_arrow(fixed))
     return interior

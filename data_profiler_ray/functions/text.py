@@ -131,14 +131,22 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         sums = np.add.reduceat(en, np.clip(starts, 0, len(flat) - 1))
         sums = np.where(n_words > 0, sums, 0.0)
         stop_ratio = sums / safe_words
-        # repetition: most frequent token's share per doc
-        codes = pd.util.hash_array(
-            np.asarray(flat.to_pylist(), dtype=object)).astype(np.int64)
+        # repetition: most frequent token's share per doc — byte-level token
+        # hashes, then a lexsort over (doc, token) so equal tokens within a
+        # doc form runs; run lengths via change-points, per-doc max via
+        # np.maximum.reduceat (no Python objects, no pandas groupby)
+        codes = hash_string_array(flat)
         doc_ids = np.repeat(np.arange(len(starts)), np.diff(offsets))
-        df = pd.DataFrame({"d": doc_ids, "t": codes})
-        top = df.groupby(["d", "t"]).size().groupby("d").max()
-        rep_ratio[top.index.to_numpy()] = top.to_numpy() / safe_words[
-            top.index.to_numpy()]
+        order = np.lexsort((codes, doc_ids))
+        d_s, c_s = doc_ids[order], codes[order]
+        run_start = np.flatnonzero(
+            np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])])
+        run_len = np.diff(np.append(run_start, d_s.size))
+        doc_start = np.flatnonzero(np.r_[True, d_s[run_start][1:]
+                                         != d_s[run_start][:-1]])
+        doc_max = np.maximum.reduceat(run_len, doc_start)
+        present = d_s[run_start][doc_start]
+        rep_ratio[present] = doc_max / safe_words[present]
 
     # composite: length in sweet spot, words present, low digit/punct noise,
     # some stopwords (natural language), low repetition
@@ -212,6 +220,45 @@ def tfidf_summary_batch(batch: pa.Table, text_col: str = "text",
     return _set_column(batch, "summary", pa.array(summaries, pa.string()))
 
 
+def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash per string, straight off the UTF-8
+    byte buffer: h(s) = Σ byte_i · B^(len−1−i) mod 2^64.
+
+    No per-string Python objects (``to_pylist`` + ``pd.util.hash_array`` on
+    an object array was the hot-path anti-pattern flagged in round 1) —
+    one reduceat over the batch's concatenated bytes, same kernel as
+    ``fingerprint_batch``. Empty/null strings hash to 0.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    b = arr.cast(pa.large_binary())
+    buffers = b.buffers()
+    off_buf = np.frombuffer(buffers[1], dtype=np.int64,
+                            count=b.offset + len(b) + 1)
+    offsets = off_buf[b.offset: b.offset + len(b) + 1]
+    data = (np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.zeros(0, np.uint8))
+    # copy: numpy kernels on read-only views of Arrow buffers hit slow paths
+    raw = np.array(data[offsets[0]:offsets[-1]], copy=True).astype(np.uint64)
+    rel = (offsets - offsets[0]).astype(np.int64)
+    lens = np.diff(rel)
+    out = np.zeros(len(lens), dtype=np.uint64)
+    if raw.size:
+        pows = _hash_powers(int(lens.max()))
+        pos = np.arange(raw.size, dtype=np.int64) - np.repeat(rel[:-1], lens)
+        exp = np.repeat(lens - 1, lens) - pos
+        nonempty = lens > 0
+        # reduceat over NONEMPTY starts only: empty strings own no bytes, so
+        # consecutive nonempty starts partition the buffer exactly (clipping
+        # an empty tail start to size-1 would steal the previous string's
+        # last byte — a real bug caught by the repeated-token test)
+        with np.errstate(over="ignore"):
+            terms = raw * pows[exp]
+            sums = np.add.reduceat(terms, rel[:-1][nonempty])
+        out[nonempty] = sums
+    return out
+
+
 def _set_column(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
     """Append, or replace when the input table already carries the name
     (e.g. a source ``n_chars`` column)."""
@@ -233,28 +280,9 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             for v in norm.to_pylist()]
 
     # 64-bit polynomial hash  h(d) = Σ byte_i · B^(len−1−i)  (mod 2^64),
-    # fully vectorized over the concatenated byte buffer of the whole batch:
-    # exponents per position via offsets arithmetic, powers from a cached
-    # table, per-doc sums with np.add.reduceat (uint64 arithmetic wraps).
-    bin_arr = norm.cast(pa.large_binary())
-    offsets = np.frombuffer(bin_arr.buffers()[1], dtype=np.int64,
-                            count=len(bin_arr) + 1)
-    data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
-    raw = np.array(data[offsets[0]:offsets[-1]], copy=True).astype(np.uint64)
-    rel = (offsets - offsets[0]).astype(np.int64)
-    lens = np.diff(rel)
-    n_docs = len(lens)
-    rolls = np.zeros(n_docs, dtype=np.uint64)
-    if raw.size:
-        pows = _hash_powers(int(lens.max()))
-        pos = np.arange(raw.size, dtype=np.int64) - np.repeat(rel[:-1], lens)
-        exp = np.repeat(lens - 1, lens) - pos
-        with np.errstate(over="ignore"):
-            terms = raw * pows[exp]
-            nonempty = lens > 0
-            sums = np.add.reduceat(terms, np.clip(rel[:-1], 0, raw.size - 1))
-            rolls[nonempty] = sums[nonempty]
-    signed = rolls.astype(np.int64)  # two's-complement reinterpret for Arrow
+    # fully vectorized over the concatenated byte buffer of the whole batch
+    # (shared kernel: ``hash_string_array``).
+    signed = hash_string_array(norm).astype(np.int64)  # two's-complement
     valid = pa.array([v is not None for v in md5s], pa.bool_())
     fp64 = pc.if_else(valid, pa.array(signed, pa.int64()),
                       pa.scalar(None, pa.int64()))

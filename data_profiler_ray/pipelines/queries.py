@@ -30,6 +30,22 @@ from ..stages.profile import profile_dataset
 
 _R = 6  # float rounding for hash-stable comparisons
 
+# Nudge added before every float ROUND on BOTH the Ray and the SQL side:
+# numpy/pandas round half-to-even while DuckDB ROUND rounds half away from
+# zero, so a value landing exactly on a .5 boundary at the rounded digit
+# (possible for aggregate means/sums of decimal data) would flip between
+# engines nondeterministically with accumulation order. The shared epsilon
+# moves both sides off the tie. (NaN parity note: the accumulators treat
+# float NaN as missing while SQL COUNT/MIN/MAX would treat it as a value —
+# the driver test tables contain no NaN; oracles on NaN-bearing float
+# columns would need FILTER (WHERE NOT isnan(c)) on the SQL side.)
+_EPS = 1e-9
+
+
+def _round(x, digits: int = _R):
+    """Tie-guarded rounding for floats (arrays, Series or scalars)."""
+    return np.round(np.asarray(x, dtype=np.float64) + _EPS, digits)
+
 
 def _read(sf_dir: str, table: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
@@ -57,12 +73,12 @@ def profile_lineitem_stats(sf_dir: str) -> pa.Table:
             "cnt": v["count"],
             "n_missing": v["num_missing"],
             "n_distinct": v["n_distinct"],
-            "min_val": round(float(v["min"]), _R),
-            "max_val": round(float(v["max"]), _R),
+            "min_val": float(_round(float(v["min"]))),
+            "max_val": float(_round(float(v["max"]))),
             # sum rounded at 2 decimals: these columns are cent-precision
             # decimals, so the true sum IS a 2-decimal value — rounding is
             # hash-stable where a mean would sit on a rounding boundary
-            "sum_val": round(float(v["sum"]), 2),
+            "sum_val": float(_round(float(v["sum"]), 2)),
         })
     rows.sort(key=lambda r: r["column_name"])
     return pa.Table.from_pylist(rows)
@@ -72,9 +88,9 @@ _PROFILE_STATS_SQL = " UNION ALL ".join(
     f"SELECT '{c}' AS column_name, COUNT({c}) AS cnt, "
     f"COUNT(*) - COUNT({c}) AS n_missing, "
     f"COUNT(DISTINCT {c}) AS n_distinct, "
-    f"ROUND(CAST(MIN({c}) AS DOUBLE), {_R}) AS min_val, "
-    f"ROUND(CAST(MAX({c}) AS DOUBLE), {_R}) AS max_val, "
-    f"ROUND(SUM(CAST({c} AS DOUBLE)), 2) AS sum_val FROM lineitem"
+    f"ROUND((CAST(MIN({c}) AS DOUBLE)) + 1e-9, {_R}) AS min_val, "
+    f"ROUND((CAST(MAX({c}) AS DOUBLE)) + 1e-9, {_R}) AS max_val, "
+    f"ROUND((SUM(CAST({c} AS DOUBLE))) + 1e-9, 2) AS sum_val FROM lineitem"
     for c in _LINEITEM_NUM) + " ORDER BY column_name"
 
 
@@ -84,10 +100,10 @@ def events_value_stats(sf_dir: str) -> pa.Table:
     v = prof["variables"][0]
     return pa.table({
         "cnt": pa.array([v["count"]], pa.int64()),
-        "min_val": pa.array([round(float(v["min"]), _R)]),
-        "max_val": pa.array([round(float(v["max"]), _R)]),
-        "mean_val": pa.array([round(float(v["mean"]), _R)]),
-        "std_val": pa.array([round(float(v["std"]), _R)]),
+        "min_val": pa.array([float(_round(float(v["min"])))]),
+        "max_val": pa.array([float(_round(float(v["max"])))]),
+        "mean_val": pa.array([float(_round(float(v["mean"])))]),
+        "std_val": pa.array([float(_round(float(v["std"])))]),
     })
 
 
@@ -98,10 +114,10 @@ def quantiles_quantity(sf_dir: str) -> pa.Table:
                            ProfileConfig(columns=["l_quantity"]))
     v = prof["variables"][0]
     return pa.table({
-        "p25": pa.array([round(float(v["25%"]), _R)]),
-        "p50": pa.array([round(float(v["median"]), _R)]),
-        "p75": pa.array([round(float(v["75%"]), _R)]),
-        "p95": pa.array([round(float(v["95%"]), _R)]),
+        "p25": pa.array([float(_round(float(v["25%"])))]),
+        "p50": pa.array([float(_round(float(v["median"])))]),
+        "p75": pa.array([float(_round(float(v["75%"])))]),
+        "p95": pa.array([float(_round(float(v["95%"])))]),
     })
 
 
@@ -213,10 +229,10 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         sum_base_price=("sum_base_price", "sum"),
         sum_disc_price=("sum_disc_price", "sum"),
         count_order=("count_order", "sum"))
-    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(_R)
-    df["sum_qty"] = df["sum_qty"].round(2)
-    df["sum_base_price"] = df["sum_base_price"].round(2)
-    df["sum_disc_price"] = df["sum_disc_price"].round(2)
+    df["avg_qty"] = _round(df["sum_qty"] / df["count_order"])
+    df["sum_qty"] = _round(df["sum_qty"], 2)
+    df["sum_base_price"] = _round(df["sum_base_price"], 2)
+    df["sum_disc_price"] = _round(df["sum_disc_price"], 2)
     df = df.sort_values(["l_returnflag", "l_linestatus"])
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -227,7 +243,7 @@ def orders_by_status(sf_dir: str) -> pa.Table:
                           ray.data.aggregate.Sum("o_totalprice")))
     df = tbl.to_pandas().rename(columns={
         "count()": "cnt", "sum(o_totalprice)": "sum_totalprice"})
-    df["sum_totalprice"] = df["sum_totalprice"].round(2)
+    df["sum_totalprice"] = _round(df["sum_totalprice"], 2)
     return pa.Table.from_pandas(df.sort_values("o_orderstatus"),
                                 preserve_index=False)
 
@@ -238,7 +254,7 @@ def events_per_type(sf_dir: str) -> pa.Table:
                           ray.data.aggregate.Mean("value")))
     df = tbl.to_pandas().rename(columns={
         "count()": "cnt", "mean(value)": "avg_value"})
-    df["avg_value"] = df["avg_value"].round(_R)
+    df["avg_value"] = _round(df["avg_value"])
     return pa.Table.from_pandas(df.sort_values("event_type"),
                                 preserve_index=False)
 
@@ -262,19 +278,20 @@ def lang_distribution_documents(sf_dir: str):
 
 
 def dup_keys_events(sf_dir: str) -> pa.Table:
+    """Duplicate-key detection as a pure count aggregate: groupby().count()
+    → vectorized cnt>1 filter. No map_groups — with virtually every
+    (user_id, ts) group a singleton, per-group Python overhead would
+    dominate (round-1 anti-pattern #2)."""
     ds = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+    counted = ds.groupby(["user_id", "ts"]).count()
 
-    def dups(group: pa.Table) -> pa.Table:
-        if group.num_rows > 1:
-            return pa.table({
-                "user_id": group.column("user_id").slice(0, 1),
-                "ts": group.column("ts").slice(0, 1),
-                "cnt": pa.array([group.num_rows], pa.int64())})
-        return pa.table({"user_id": pa.array([], pa.int64()),
-                         "ts": pa.array([], pa.timestamp("us")),
-                         "cnt": pa.array([], pa.int64())})
-    out = _tbl(ds.groupby(["user_id", "ts"]).map_groups(
-        dups, batch_format="pyarrow"))
+    def only_dups(b: pa.Table) -> pa.Table:
+        b = b.rename_columns([{"count()": "cnt"}.get(c, c)
+                              for c in b.column_names])
+        return b.filter(pc.greater(b.column("cnt"), 1)).select(
+            ["user_id", "ts", "cnt"])
+
+    out = _tbl(counted.map_batches(only_dups, batch_format="pyarrow"))
     if out.num_columns == 0:
         out = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us")),
                          ("cnt", pa.int64())]).empty_table()
@@ -350,18 +367,25 @@ def revenue_by_segment(sf_dir: str) -> pa.Table:
     import ray as _ray
     cust = _tbl(_read(sf_dir, "customer")
                 .select_columns(["c_custkey", "c_mktsegment"]))
-    seg_map_ref = _ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
-                                    cust.column("c_mktsegment").to_pylist())))
+    seg_map_ref = _ray.put(cust.combine_chunks())
 
     class JoinAgg:
+        """Broadcast-join probe: Arrow ``pc.index_in`` against the key
+        array + ``take`` on the segment array — fully vectorized, no
+        per-row Python dict lookups (round-1 anti-pattern #1)."""
+
         def __init__(self, ref):
-            self.seg = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            t = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            self.keys = t.column("c_custkey").combine_chunks()
+            self.segs = t.column("c_mktsegment").combine_chunks()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-            segs = np.array([self.seg.get(int(k)) for k in keys], dtype=object)
-            df = pd.DataFrame({"c_mktsegment": segs, "p": price})
+            idx = pc.index_in(batch.column("o_custkey"), value_set=self.keys)
+            segs = self.segs.take(idx)  # missing keys → null segment
+            df = pd.DataFrame({
+                "c_mktsegment": segs.to_pandas(),
+                "p": batch.column("o_totalprice").to_numpy(
+                    zero_copy_only=False)})
             g = df.groupby("c_mktsegment", as_index=False).agg(
                 revenue=("p", "sum"), n_orders=("p", "size"))
             return pa.Table.from_pandas(g, preserve_index=False)
@@ -372,7 +396,7 @@ def revenue_by_segment(sf_dir: str) -> pa.Table:
                               batch_format="pyarrow", concurrency=(1, 4)))
     df = parts.to_pandas().groupby("c_mktsegment", as_index=False).agg(
         revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _round(df["revenue"], 2)
     return pa.Table.from_pandas(df.sort_values("c_mktsegment"),
                                 preserve_index=False)
 
@@ -409,7 +433,7 @@ def sessionize_events(sf_dir: str) -> pa.Table:
             "n_events": pa.array(n, pa.int64()),
             "session_start_us": pa.array(ts[starts_idx], pa.int64()),
             "session_end_us": pa.array(ts[ends_idx - 1], pa.int64()),
-            "sum_value": pa.array(np.round(sums, _R), pa.float64()),
+            "sum_value": pa.array(_round(sums), pa.float64()),
         })
 
     return _tbl(ds.groupby("user_id").map_groups(
@@ -425,7 +449,7 @@ def rolling_avg_events(sf_dir: str) -> pa.Table:
     out = _tbl(rolling_window(ds, "user_id", ["ts", "event_id"],
                               "value", window=5))
     df = out.to_pandas()[["user_id", "event_id", "value_rolling_mean"]]
-    df["value_rolling_mean"] = df["value_rolling_mean"].round(_R)
+    df["value_rolling_mean"] = _round(df["value_rolling_mean"])
     return pa.Table.from_pandas(
         df.sort_values(["user_id", "event_id"]), preserve_index=False)
 
@@ -498,7 +522,7 @@ def knn_embeddings(sf_dir: str) -> pa.Table:
     q = _query_vec(sf_dir)
     out = knn_brute_force(_read(sf_dir, "embeddings"), q, k=10)
     df = out.to_pandas()[["vec_id", "cosine"]]
-    df["cosine"] = df["cosine"].round(4)
+    df["cosine"] = _round(df["cosine"], 4)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -628,14 +652,14 @@ QUERIES = {
 ORACLE_SQL = {
     "profile_lineitem_stats": _PROFILE_STATS_SQL,
     "events_value_stats": (
-        f"SELECT COUNT(value) AS cnt, ROUND(MIN(value), {_R}) AS min_val, "
-        f"ROUND(MAX(value), {_R}) AS max_val, ROUND(AVG(value), {_R}) AS mean_val, "
-        f"ROUND(STDDEV_SAMP(value), {_R}) AS std_val FROM events"),
+        f"SELECT COUNT(value) AS cnt, ROUND((MIN(value)) + 1e-9, {_R}) AS min_val, "
+        f"ROUND((MAX(value)) + 1e-9, {_R}) AS max_val, ROUND((AVG(value)) + 1e-9, {_R}) AS mean_val, "
+        f"ROUND((STDDEV_SAMP(value)) + 1e-9, {_R}) AS std_val FROM events"),
     "quantiles_quantity": (
-        f"SELECT ROUND(quantile_cont(l_quantity, 0.25), {_R}) AS p25, "
-        f"ROUND(quantile_cont(l_quantity, 0.50), {_R}) AS p50, "
-        f"ROUND(quantile_cont(l_quantity, 0.75), {_R}) AS p75, "
-        f"ROUND(quantile_cont(l_quantity, 0.95), {_R}) AS p95 FROM lineitem"),
+        f"SELECT ROUND((quantile_cont(l_quantity, 0.25)) + 1e-9, {_R}) AS p25, "
+        f"ROUND((quantile_cont(l_quantity, 0.50)) + 1e-9, {_R}) AS p50, "
+        f"ROUND((quantile_cont(l_quantity, 0.75)) + 1e-9, {_R}) AS p75, "
+        f"ROUND((quantile_cont(l_quantity, 0.95)) + 1e-9, {_R}) AS p95 FROM lineitem"),
     "datetime_range_orders": (
         "SELECT strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS start_ts, "
         "strftime(MAX(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS end_ts, "
@@ -655,19 +679,19 @@ ORACLE_SQL = {
         "ORDER BY cnt DESC, p_brand LIMIT 5"),
     "pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
-        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
-        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
-        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND((SUM(l_quantity)) + 1e-9, 2) AS sum_qty, "
+        "ROUND((SUM(l_extendedprice)) + 1e-9, 2) AS sum_base_price, "
+        "ROUND((SUM(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS sum_disc_price, "
         "COUNT(*) AS count_order, "
-        f"ROUND(SUM(l_quantity) / COUNT(*), {_R}) AS avg_qty "
+        f"ROUND((SUM(l_quantity) / COUNT(*)) + 1e-9, {_R}) AS avg_qty "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus "
         "ORDER BY l_returnflag, l_linestatus"),
     "orders_by_status": (
         "SELECT o_orderstatus, COUNT(*) AS cnt, "
-        "ROUND(SUM(o_totalprice), 2) AS sum_totalprice FROM orders "
+        "ROUND((SUM(o_totalprice)) + 1e-9, 2) AS sum_totalprice FROM orders "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "events_per_type": (
-        f"SELECT event_type, COUNT(*) AS cnt, ROUND(AVG(value), {_R}) AS "
+        f"SELECT event_type, COUNT(*) AS cnt, ROUND((AVG(value)) + 1e-9, {_R}) AS "
         "avg_value FROM events GROUP BY event_type ORDER BY event_type"),
     "hourly_events": (
         "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS cnt "
@@ -683,7 +707,7 @@ ORACLE_SQL = {
         "COUNT(DISTINCT l_partkey) AS n_partkeys, "
         "COUNT(DISTINCT l_suppkey) AS n_suppkeys FROM lineitem"),
     "revenue_by_segment": (
-        "SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, "
+        "SELECT c_mktsegment, ROUND((SUM(o_totalprice)) + 1e-9, 2) AS revenue, "
         "COUNT(*) AS n_orders FROM orders o JOIN customer c "
         "ON o.o_custkey = c.c_custkey GROUP BY c_mktsegment "
         "ORDER BY c_mktsegment"),
@@ -704,14 +728,14 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
         "GROUP BY user_id ORDER BY user_id"),
     "rolling_avg_events": (
-        "SELECT user_id, event_id, ROUND(AVG(value) OVER ("
+        "SELECT user_id, event_id, ROUND((AVG(value) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_rolling_mean "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) + 1e-9, 6) AS value_rolling_mean "
         "FROM events ORDER BY user_id, event_id"),
     "sessionize_events": (
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
         "MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us, "
-        "ROUND(SUM(value), 6) AS sum_value FROM ("
+        "ROUND((SUM(value)) + 1e-9, 6) AS sum_value FROM ("
         "SELECT user_id, value, epoch_us(ts) AS ts_us, "
         "SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 "
         "END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
@@ -727,10 +751,10 @@ ORACLE_SQL = {
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
         "ORDER BY doc_id"),
     "knn_embeddings": (
-        "SELECT vec_id, ROUND(list_cosine_similarity("
+        "SELECT vec_id, ROUND((list_cosine_similarity("
         "CAST(embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
-        "), 4) AS cosine FROM embeddings "
+        ")) + 1e-9, 4) AS cosine FROM embeddings "
         "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
         "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
         ") DESC, vec_id LIMIT 10"),

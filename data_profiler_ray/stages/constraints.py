@@ -439,7 +439,7 @@ def conversation_checks_bucketed(ds: "ray.data.Dataset",
     ``conversation_checks`` stays the default. This variant remains the
     right shape when inputs are ALREADY hash-bucketed on conv_id at write
     time (no shuffle at all: ``groupby`` collapses to per-file groups)."""
-    import pandas as pd
+    from ..functions.text import hash_string_array
     cols = [cfg.group_column, cfg.order_column]
     names = ds.schema().names
     for c in (cfg.ts_column, cfg.role_column, cfg.tool_column, "part"):
@@ -450,10 +450,7 @@ def conversation_checks_bucketed(ds: "ray.data.Dataset",
         num_buckets = 2 * int(ray.cluster_resources().get("CPU", 8))
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        conv = b.column(cfg.group_column)
-        if isinstance(conv, pa.ChunkedArray):
-            conv = conv.combine_chunks()
-        h = pd.util.hash_array(np.asarray(conv.to_pylist(), dtype=object))
+        h = hash_string_array(b.column(cfg.group_column))
         return b.append_column(
             "__bucket", pa.array((h % num_buckets).astype(np.int32)))
 
