@@ -95,7 +95,7 @@ def main() -> dict:
     from data_profiler_ray.synthetic import documents_path
     docs_dir = documents_path(100_000, seed=42, dup_frac=0.02)
     timed("minhash_dedup_100k_docs", lambda: minhash_dedup(
-        ray.data.read_parquet(docs_dir), threshold=0.7))
+        ray.data.read_parquet(docs_dir), threshold=0.7).count())
     timed("knn_embeddings", lambda: Q.knn_embeddings(SF_DIR))
     timed("token_quality_documents", lambda: Q.quality_scores_documents(SF_DIR))
 

@@ -274,65 +274,214 @@ def minhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     return ray.data.from_arrow(pairs_tbl)
 
 
+_SLOT_SCHEMA = pa.schema([
+    ("pair", pa.int64()),
+    ("size", pa.int64()),
+    ("shingles", pa.large_list(pa.uint64())),
+])
+
+
+def _unique_shingle_lists(sub: pa.Table, id_col: str, text_col: str,
+                          shingle_k: int) -> tuple[np.ndarray, pa.Array]:
+    """(ids, large_list<uint64> of each doc's SORTED UNIQUE shingles)."""
+    tok_h, offsets = _token_hashes(sub.column(text_col))
+    sh, out_off = _shingles_vectorized(tok_h, offsets, shingle_k)
+    n_docs = len(out_off) - 1
+    doc_rep = np.repeat(np.arange(n_docs), np.diff(out_off))
+    order = np.lexsort((sh, doc_rep))
+    d_s, s_s = doc_rep[order], sh[order]
+    keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])] \
+        if d_s.size else np.zeros(0, dtype=bool)
+    d_u, s_u = d_s[keep], s_s[keep]
+    counts = np.bincount(d_u, minlength=n_docs)
+    new_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    lists = pa.LargeListArray.from_arrays(pa.array(new_off, pa.int64()),
+                                          pa.array(s_u, pa.uint64()))
+    ids = sub.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return ids, lists
+
+
+class _ShingleSlotEmitter:
+    """map_batches actor: for each candidate doc in the batch, build its
+    unique shingle set ONCE and replicate it to every (pair, side) slot it
+    participates in. The doc→pair membership map is broadcast via ray.put
+    (O(#pairs)); the corpus streams through exactly once."""
+
+    def __init__(self, memb_ref, wanted_ref, id_col: str, text_col: str,
+                 shingle_k: int):
+        self.memb_doc, self.memb_pair = ray.get(memb_ref)
+        self.wanted = ray.get(wanted_ref)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(self.id_col),
+                                    value_set=self.wanted))
+        if sub.num_rows == 0:
+            return _SLOT_SCHEMA.empty_table()
+        ids, lists = _unique_shingle_lists(sub, self.id_col, self.text_col,
+                                           self.k)
+        lo = np.searchsorted(self.memb_doc, ids, "left")
+        hi = np.searchsorted(self.memb_doc, ids, "right")
+        reps = hi - lo
+        total = int(reps.sum())
+        take_rows = np.repeat(np.arange(ids.size), reps)
+        slot_idx = (np.repeat(lo, reps)
+                    + np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                                   reps))
+        sizes = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "pair": pa.array(self.memb_pair[slot_idx], pa.int64()),
+            "size": pa.array(sizes[take_rows], pa.int64()),
+            "shingles": lists.take(pa.array(take_rows)),
+        }, schema=_SLOT_SCHEMA)
+
+
+_SCORE_SCHEMA = pa.schema([
+    ("pair", pa.int64()),
+    ("jaccard", pa.float64()),
+    ("size", pa.int64()),
+    ("shingles", pa.large_list(pa.uint64())),
+])
+
+
+def _score_pairs_block(batch: pa.Table) -> pa.Table:
+    """Vectorized Jaccard over a pair-sorted block of shingle-slot rows.
+
+    A pair has exactly 2 slot rows globally, so any 2-row segment is
+    complete and final; 1-row segments (pair cut at a block edge, or a doc
+    missing from the corpus) are re-emitted raw for the driver's exact
+    leftover pass (o(#blocks) rows)."""
+    b = batch.combine_chunks()
+    n = b.num_rows
+    if n == 0:
+        return _SCORE_SCHEMA.empty_table()
+    pairv = b.column("pair").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, pairv[1:] != pairv[:-1]])
+    ends = np.append(starts[1:], n)
+    lens = ends - starts
+    comp = np.flatnonzero(lens == 2)
+    shing = b.column("shingles")
+    if isinstance(shing, pa.ChunkedArray):
+        shing = shing.combine_chunks()
+    vals = shing.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offs = shing.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes = b.column("size").to_numpy(zero_copy_only=False)
+    out: list[pa.Table] = []
+    if comp.size:
+        rows_a = starts[comp]
+        sel = np.empty(comp.size * 2, dtype=np.int64)
+        sel[0::2] = rows_a
+        sel[1::2] = rows_a + 1
+        tok_counts = (offs[sel + 1] - offs[sel])
+        total = int(tok_counts.sum())
+        inter_full = np.zeros(comp.size, dtype=np.int64)
+        if total:
+            base = np.repeat(offs[sel], tok_counts)
+            within = (np.arange(total)
+                      - np.repeat(np.cumsum(tok_counts) - tok_counts,
+                                  tok_counts))
+            toks = vals[base + within]
+            prep = np.repeat(pairv[sel], tok_counts)
+            order = np.lexsort((toks, prep))
+            p_s, t_s = prep[order], toks[order]
+            eq = np.r_[False, (p_s[1:] == p_s[:-1]) & (t_s[1:] == t_s[:-1])]
+            seg = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+            inter_seg = np.add.reduceat(eq, seg) if seg.size else \
+                np.zeros(0, np.int64)
+            # map token-bearing pairs back onto the complete-pair axis
+            cp = pairv[rows_a]
+            pos = np.searchsorted(cp, p_s[seg])
+            inter_full[pos] = inter_seg
+        union = sizes[rows_a] + sizes[rows_a + 1] - inter_full
+        jac = np.where(union > 0, inter_full / np.maximum(union, 1), 1.0)
+        out.append(pa.table({
+            "pair": pa.array(pairv[rows_a], pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+            "size": pa.nulls(comp.size, pa.int64()),
+            "shingles": pa.nulls(comp.size, pa.large_list(pa.uint64())),
+        }, schema=_SCORE_SCHEMA))
+    inc = np.flatnonzero(lens != 2)
+    if inc.size:
+        rows = np.concatenate([np.arange(starts[g], ends[g]) for g in inc])
+        sub = b.take(pa.array(rows))
+        out.append(pa.table({
+            "pair": sub.column("pair"),
+            "jaccard": pa.nulls(sub.num_rows, pa.float64()),
+            "size": sub.column("size"),
+            "shingles": sub.column("shingles"),
+        }, schema=_SCORE_SCHEMA))
+    return (pa.concat_tables(out) if out else _SCORE_SCHEMA.empty_table())
+
+
 def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
                    id_col: str = "doc_id", text_col: str = "text",
-                   shingle_k: int = 3, threshold: float = 0.7) -> pa.Table:
-    """Exact n-gram Jaccard for candidate pairs (n-gram Jaccard dedup op).
+                   shingle_k: int = 3, threshold: float = 0.7,
+                   concurrency=None) -> pa.Table:
+    """Exact n-gram Jaccard for candidate pairs, scored in WORKERS.
 
-    Only docs appearing in ``pairs`` are re-read (pushdown filter on the
-    scan), their shingle sets built once, pairs scored on the driver —
-    driver work is O(#pairs), not O(corpus).
+    Shape: dedupe pairs (driver, O(#pairs)) → broadcast the doc→pair-slot
+    membership map → ONE corpus pass builds each candidate doc's unique
+    shingle set and replicates it to its (pair, side) slots → sort by pair
+    → vectorized per-block segment scan computes |A∩B| / |A∪B|. Driver
+    state is O(#pairs) (+ o(#blocks) boundary leftovers); shingle sets
+    never accumulate on the driver (round-1 scale-killer #5).
     """
-    if pairs.num_rows:
-        # candidates may repeat across LSH bands; dedupe driver-side (o(pairs))
-        pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-        pairs = pa.Table.from_pandas(pdf, preserve_index=False)
-    wanted = np.unique(np.concatenate([
-        pairs.column("id_a").to_numpy(zero_copy_only=False),
-        pairs.column("id_b").to_numpy(zero_copy_only=False)])) if pairs.num_rows \
-        else np.array([], dtype=np.int64)
-    if wanted.size == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    wanted_set = pa.array(wanted)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if pairs.num_rows == 0:
+        return empty
+    # candidates may repeat across LSH bands; dedupe driver-side (O(#pairs))
+    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    a = pdf["id_a"].to_numpy(np.int64)
+    bb = pdf["id_b"].to_numpy(np.int64)
+    pair_doc = np.concatenate([a, bb])
+    pair_idx = np.tile(np.arange(a.size, dtype=np.int64), 2)
+    order = np.argsort(pair_doc, kind="stable")
+    memb_ref = ray.put((pair_doc[order], pair_idx[order]))
+    wanted_ref = ray.put(pa.array(np.unique(pair_doc), pa.int64()))
 
-    def extract(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch.column(id_col), value_set=wanted_set)
-        sub = batch.filter(m)
-        if sub.num_rows == 0:
-            return pa.table({"id": pa.array([], pa.int64()),
-                             "shingles": pa.array([], pa.list_(pa.uint64()))})
-        tok_h, offsets = _token_hashes(sub.column(text_col))
-        sh, out_off = _shingles_vectorized(tok_h, offsets, shingle_k)
-        lists = [sh[out_off[i]:out_off[i + 1]].tolist()
-                 for i in range(len(out_off) - 1)]
-        return pa.table({
-            "id": sub.column(id_col).cast(pa.int64()),
-            "shingles": pa.array(lists, pa.list_(pa.uint64()))})
+    slots = ds.select_columns([id_col, text_col]).map_batches(
+        _ShingleSlotEmitter,
+        fn_constructor_args=(memb_ref, wanted_ref, id_col, text_col,
+                             shingle_k),
+        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    scored = slots.repartition(min(max(cpus, 4), 16)).sort("pair") \
+        .map_batches(_score_pairs_block, batch_format="pyarrow",
+                     batch_size=None)
 
-    shingle_sets: dict[int, frozenset] = {}
-    for b in ds.select_columns([id_col, text_col]).map_batches(
-            extract, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for i, sl in zip(b.column("id").to_pylist(),
-                         b.column("shingles").to_pylist()):
-            shingle_sets[i] = frozenset(sl)
-
-    a_ids = pairs.column("id_a").to_pylist()
-    b_ids = pairs.column("id_b").to_pylist()
-    jac = []
-    for ia, ib in zip(a_ids, b_ids):
-        sa, sb = shingle_sets.get(ia, frozenset()), shingle_sets.get(ib, frozenset())
+    jac_by_pair = np.zeros(a.size, dtype=np.float64)
+    seen = np.zeros(a.size, dtype=bool)
+    leftovers: dict[int, list] = {}
+    for t in scored.iter_batches(batch_format="pyarrow"):
+        done = t.filter(pc.is_valid(t.column("jaccard")))
+        p = done.column("pair").to_numpy(zero_copy_only=False)
+        jac_by_pair[p] = done.column("jaccard").to_numpy(
+            zero_copy_only=False)
+        seen[p] = True
+        rest = t.filter(pc.is_null(t.column("jaccard")))
+        for pidx, sl in zip(rest.column("pair").to_pylist(),
+                            rest.column("shingles").to_pylist()):
+            leftovers.setdefault(pidx, []).append(frozenset(sl))
+    for pidx, sets in leftovers.items():
+        sa = sets[0]
+        sb = sets[1] if len(sets) > 1 else frozenset()
         union = len(sa | sb)
-        jac.append(len(sa & sb) / union if union else 1.0)
-    out = pa.table({"id_a": pa.array(a_ids, pa.int64()),
-                    "id_b": pa.array(b_ids, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64())})
+        jac_by_pair[pidx] = (len(sa & sb) / union) if union else 1.0
+        seen[pidx] = True
+    # pairs never seen (doc absent from corpus entirely): jaccard 0
+    out = pa.table({"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(bb, pa.int64()),
+                    "jaccard": pa.array(jac_by_pair, pa.float64())})
     return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
 
-def survivors_from_pairs(all_ids: np.ndarray, dup_pairs: pa.Table) -> np.ndarray:
-    """Union-find over duplicate pairs → keep the min id per cluster."""
+def drop_ids_from_pairs(dup_pairs: pa.Table) -> np.ndarray:
+    """Union-find over duplicate pairs → ids to DROP (all but the min id of
+    each cluster). Driver state is O(#duplicates), never O(corpus)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -349,26 +498,57 @@ def survivors_from_pairs(all_ids: np.ndarray, dup_pairs: pa.Table) -> np.ndarray
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
+    return np.array(sorted(x for x in parent if find(x) != x),
+                    dtype=np.int64)
+
+
+def survivors_from_pairs(all_ids: np.ndarray, dup_pairs: pa.Table) -> np.ndarray:
+    """Union-find over duplicate pairs → keep the min id per cluster.
+
+    Small-data convenience (takes the full id array); the streaming path is
+    ``drop_ids_from_pairs`` + a distributed anti-filter (``minhash_dedup``).
+    """
+    drop = set(drop_ids_from_pairs(dup_pairs).tolist())
     return np.array(sorted(set(all_ids.tolist()) - drop), dtype=np.int64)
+
+
+class _DropFilter:
+    """map_batches callable: anti-filter a broadcast drop-id set."""
+
+    def __init__(self, drop_ref, id_col: str):
+        self.drop = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) \
+            else drop_ref
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.drop) == 0:
+            return batch
+        return batch.filter(pc.invert(pc.is_in(batch.column(self.id_col),
+                                               value_set=self.drop)))
 
 
 def minhash_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
                   text_col: str = "text", threshold: float = 0.7,
-                  **lsh_kwargs) -> pa.Table:
-    """Full MinHash-LSH near-dedup: returns surviving ids as a table."""
+                  columns: list[str] | None = None,
+                  **lsh_kwargs) -> "ray.data.Dataset":
+    """Full MinHash-LSH near-dedup → Dataset of surviving rows.
+
+    Finalization is distributed (round-1 scale-killer #4 removed): the
+    driver holds only candidate PAIRS and the union-find drop set
+    (O(#duplicates)); survivors are produced by a broadcast ``pc.is_in``
+    anti-filter over the streaming corpus — no O(corpus) driver arrays.
+    """
     cand_tbls = list(minhash_candidates(ds, id_col, text_col, **lsh_kwargs)
                      .iter_batches(batch_format="pyarrow"))
     cand = (pa.concat_tables([t.select(["id_a", "id_b"]) for t in cand_tbls])
             if cand_tbls else pa.table({"id_a": pa.array([], pa.int64()),
                                         "id_b": pa.array([], pa.int64())}))
-    dups = verify_jaccard(ds, cand, id_col, text_col,
-                          threshold=threshold)
-    ids = np.concatenate([b.column(id_col).to_numpy(zero_copy_only=False)
-                          for b in ds.select_columns([id_col])
-                          .iter_batches(batch_format="pyarrow")])
-    keep = survivors_from_pairs(ids, dups)
-    return pa.table({id_col: pa.array(keep, pa.int64())})
+    dups = verify_jaccard(ds, cand, id_col, text_col, threshold=threshold)
+    drop_ref = ray.put(pa.array(drop_ids_from_pairs(dups), pa.int64()))
+    keep_cols = columns if columns is not None else [id_col]
+    return ds.select_columns(keep_cols).map_batches(
+        _DropFilter, fn_constructor_args=(drop_ref, id_col),
+        batch_format="pyarrow", concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
@@ -536,66 +716,256 @@ def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 
 class HyperplaneBucketer:
-    """Random-hyperplane LSH for embeddings: bucket = sign bits of R·v."""
+    """Random-hyperplane LSH for embeddings: bucket = sign bits of R·v.
+
+    ``n_tables`` independent hash tables raise recall (a pair is a
+    candidate if it collides in ANY table): P(hit) = 1 − (1 − p^b)^L with
+    p = 1 − θ/π. Each table's bucket id is offset by ``table << n_bits``
+    so one sort co-locates all tables at once. Embeddings are read from
+    the Arrow list buffer (no per-row Python)."""
 
     def __init__(self, emb_col: str = "embedding", id_col: str = "vec_id",
-                 n_bits: int = 12, dim: int = 64, seed: int = 2023):
+                 n_bits: int = 12, dim: int = 64, n_tables: int = 1,
+                 seed: int = 2023):
         rng = np.random.default_rng(seed)
-        self.R = rng.standard_normal((dim, n_bits))
+        self.R = rng.standard_normal((dim, n_bits * n_tables))
         self.emb_col = emb_col
         self.id_col = id_col
+        self.n_bits = n_bits
+        self.n_tables = n_tables
+        self.dim = dim
+
+    def _matrix(self, emb) -> np.ndarray:
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        return np.array(flat[offs[0]:offs[-1]], copy=True).reshape(
+            -1, self.dim).astype(np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = batch.column(self.emb_col)
-        mat = np.stack(emb.to_pandas().to_numpy())  # (n, dim) float32
-        proj = mat @ self.R
-        bits = (proj > 0).astype(np.uint64)
-        bucket = np.zeros(mat.shape[0], dtype=np.uint64)
-        for j in range(bits.shape[1]):
-            bucket |= bits[:, j] << np.uint64(j)
+        mat = self._matrix(emb)
+        bits = (mat @ self.R) > 0
+        weights = (np.uint64(1) << np.arange(self.n_bits, dtype=np.uint64))
+        n = mat.shape[0]
+        buckets = np.empty(n * self.n_tables, dtype=np.int64)
+        for t in range(self.n_tables):
+            sub = bits[:, t * self.n_bits:(t + 1) * self.n_bits]
+            code = (sub.astype(np.uint64) * weights).sum(axis=1)
+            buckets[t * n:(t + 1) * n] = (code
+                                          + (np.uint64(t) << np.uint64(
+                                              self.n_bits))).astype(np.int64)
         norm = np.linalg.norm(mat, axis=1)
+        ids = batch.column(self.id_col).cast(pa.int64())
         return pa.table({
-            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
-            "id": batch.column(self.id_col).cast(pa.int64()),
-            "emb": emb,
-            "norm": pa.array(norm, pa.float64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "id": pa.concat_arrays([ids.combine_chunks()
+                                    if isinstance(ids, pa.ChunkedArray)
+                                    else ids] * self.n_tables),
+            "emb": pa.concat_arrays([emb.combine_chunks()
+                                     if isinstance(emb, pa.ChunkedArray)
+                                     else emb] * self.n_tables),
+            "norm": pa.array(np.tile(norm, self.n_tables), pa.float64()),
         })
+
+
+def _emb_segment_pairs(tbl: pa.Table, threshold: float, dim: int,
+                       max_bucket: int = 256) -> pa.Table:
+    """Pairwise cosine within each bucket segment of a bucket-sorted table.
+
+    One matmul per multi-member segment (rare); singleton segments cost a
+    change-point scan only — the sorted-segment shape that replaced
+    per-bucket ``map_groups`` across the dedup family."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    n = tbl.num_rows
+    if n == 0:
+        return empty
+    bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    ids = tbl.column("id").to_numpy(zero_copy_only=False)
+    norms = tbl.column("norm").to_numpy(zero_copy_only=False)
+    emb = tbl.column("emb")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.values.to_numpy(zero_copy_only=False)
+    offs = emb.offsets.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    ends = np.append(starts[1:], n)
+    a_p, b_p, c_p = [], [], []
+    for g in np.flatnonzero((ends - starts) >= 2):
+        s, e = int(starts[g]), int(ends[g])
+        uniq, uidx = np.unique(ids[s:e], return_index=True)
+        if uniq.size < 2 or uniq.size > max_bucket:
+            continue
+        rows = np.arange(s, e)[uidx]
+        seg = np.stack([
+            np.array(flat[offs[r]:offs[r + 1]], copy=True)
+            for r in rows]).astype(np.float64)
+        normed = seg / np.maximum(norms[rows], 1e-12)[:, None]
+        sim = normed @ normed.T
+        iu = np.triu_indices(uniq.size, k=1)
+        sv = sim[iu]
+        keep = sv >= threshold
+        a_p.append(uniq[iu[0]][keep])
+        b_p.append(uniq[iu[1]][keep])
+        c_p.append(sv[keep])
+    if not a_p:
+        return empty
+    return pa.table({"id_a": pa.array(np.concatenate(a_p), pa.int64()),
+                     "id_b": pa.array(np.concatenate(b_p), pa.int64()),
+                     "cosine": pa.array(np.concatenate(c_p), pa.float64())})
 
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
-                        n_bits: int = 12, dim: int = 64,
+                        n_bits: int = 12, dim: int = 64, n_tables: int = 1,
                         concurrency=None) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
 
-    Within-bucket brute force only: one numpy matmul per bucket. Lowering
-    ``n_bits`` raises recall at the cost of bigger buckets.
+    Bucket co-location is a sort + segment scan (NOT per-bucket
+    ``map_groups`` — measured 2.4× slower in round 1); buckets cut at
+    block edges are re-paired exactly from the re-emitted first/last
+    segment rows (o(#blocks) rows), with pairs deduped downstream since a
+    partial bucket's pairs are a subset of the full bucket's. Lowering
+    ``n_bits`` / raising ``n_tables`` raises recall at the cost of bigger
+    exchanges. Returns a Dataset of (id_a, id_b, cosine) — duplicates
+    across tables/boundary possible; consumers dedupe (O(#pairs)).
     """
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneBucketer,
         fn_constructor_kwargs=dict(emb_col=emb_col, id_col=id_col,
-                                   n_bits=n_bits, dim=dim),
+                                   n_bits=n_bits, dim=dim,
+                                   n_tables=n_tables),
         batch_format="pyarrow", concurrency=concurrency or (1, 8))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    srt = bucketed.repartition(min(max(2 * cpus, 8), 24)).sort("bucket")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        g = group.combine_chunks()
-        ids = g.column("id").to_numpy(zero_copy_only=False)
-        if ids.size < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        mat = np.stack(g.column("emb").to_pandas().to_numpy())
-        norms = g.column("norm").to_numpy(zero_copy_only=False)
-        normed = mat / np.maximum(norms, 1e-12)[:, None]
-        sim = normed @ normed.T
-        iu = np.triu_indices(ids.size, k=1)
-        s = sim[iu]
-        keep = s >= threshold
-        return pa.table({"id_a": pa.array(ids[iu[0]][keep], pa.int64()),
-                         "id_b": pa.array(ids[iu[1]][keep], pa.int64()),
-                         "cosine": pa.array(s[keep], pa.float64())})
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        b = batch.combine_chunks()
+        pairs = _emb_segment_pairs(b, threshold, dim)
+        n = b.num_rows
+        if n == 0:
+            return pairs.append_column(
+                "bucket", pa.array([], pa.int64())).append_column(
+                "id", pa.array([], pa.int64())).append_column(
+                "norm", pa.array([], pa.float64())).append_column(
+                "emb", pa.array([], b.schema.field("emb").type))
+        bucket = b.column("bucket").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.append(starts[1:], n)
+        bnd = np.unique(np.concatenate([
+            np.arange(starts[0], ends[0]),
+            np.arange(starts[-1], ends[-1])]))
+        edge = b.take(pa.array(bnd))
+        k = pairs.num_rows
+        pairs = pairs.append_column("bucket", pa.nulls(k, pa.int64()))
+        pairs = pairs.append_column("id", pa.nulls(k, pa.int64()))
+        pairs = pairs.append_column("norm", pa.nulls(k, pa.float64()))
+        pairs = pairs.append_column(
+            "emb", pa.nulls(k, b.schema.field("emb").type))
+        marker = pa.table({
+            "id_a": pa.array(np.full(edge.num_rows, -1), pa.int64()),
+            "id_b": pa.nulls(edge.num_rows, pa.int64()),
+            "cosine": pa.nulls(edge.num_rows, pa.float64()),
+            "bucket": edge.column("bucket"),
+            "id": edge.column("id"),
+            "norm": edge.column("norm"),
+            "emb": edge.column("emb"),
+        })
+        return pa.concat_tables([pairs, marker])
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
+    out = srt.map_batches(block_pairs, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    rows_t = list(out.iter_batches(batch_format="pyarrow"))
+    if not rows_t:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    rows = pa.concat_tables(rows_t, promote_options="permissive")
+    is_marker = pc.equal(rows.column("id_a"), -1)
+    pairs_tbl = rows.filter(pc.invert(is_marker)).select(
+        ["id_a", "id_b", "cosine"])
+    markers = rows.filter(is_marker)
+    if markers.num_rows:
+        btbl = markers.select(["bucket", "id", "emb", "norm"])
+        order = pc.sort_indices(btbl, sort_keys=[("bucket", "ascending")])
+        bpairs = _emb_segment_pairs(btbl.take(order), threshold, dim)
+        pairs_tbl = pa.concat_tables([pairs_tbl, bpairs])
+    if pairs_tbl.num_rows:
+        pdf = pairs_tbl.to_pandas().drop_duplicates(["id_a", "id_b"])
+        pairs_tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    return ray.data.from_arrow(pairs_tbl)
+
+
+def embedding_all_pairs_exact(ds: "ray.data.Dataset",
+                              emb_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.45,
+                              dim: int = 64) -> pa.Table:
+    """EXACT all-pairs cosine ≥ threshold — the brute-force baseline the
+    LSH path approximates (and the SQL-checkable variant: a DuckDB
+    self-join computes the same O(n²) result).
+
+    Shape: the normalized matrix is broadcast ONCE via ``ray.put`` and the
+    corpus streams through a stateless map_batches computing a
+    rows-of-batch × all matmul with an id_a < id_b mask — O(n²/P) compute
+    per task, no shuffle. The broadcast side must fit in worker memory
+    (n·dim floats); beyond that, use ``embedding_dup_pairs`` (LSH) — exact
+    all-pairs at 100 TB is inherently quadratic.
+    """
+    import ray as _ray
+    base = _tbl_from_ds(ds.select_columns([id_col, emb_col]))
+    ids_all = base.column(id_col).to_numpy(zero_copy_only=False)
+    emb = base.column(emb_col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.values.to_numpy(zero_copy_only=False)
+    offs = emb.offsets.to_numpy(zero_copy_only=False)
+    mat = np.array(flat[offs[0]:offs[-1]], copy=True).reshape(
+        -1, dim).astype(np.float64)
+    normed = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-12)[:, None]
+    ref = _ray.put((ids_all, normed))
+
+    class BlockPairs:
+        def __init__(self, r):
+            self.ids, self.normed = _ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            e = batch.column(emb_col)
+            if isinstance(e, pa.ChunkedArray):
+                e = e.combine_chunks()
+            f = e.values.to_numpy(zero_copy_only=False)
+            o = e.offsets.to_numpy(zero_copy_only=False)
+            m = np.array(f[o[0]:o[-1]], copy=True).reshape(
+                -1, dim).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            sim = m @ self.normed.T                      # (batch, n)
+            keep = (sim >= threshold) & (bids[:, None] < self.ids[None, :])
+            r, c = np.nonzero(keep)
+            return pa.table({
+                "id_a": pa.array(bids[r], pa.int64()),
+                "id_b": pa.array(self.ids[c], pa.int64()),
+                "cosine": pa.array(sim[r, c], pa.float64())})
+
+    parts = list(ds.select_columns([id_col, emb_col]).map_batches(
+        BlockPairs, fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 8)).iter_batches(batch_format="pyarrow"))
+    out = (pa.concat_tables(parts) if parts else
+           pa.table({"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}))
+    order = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
+                                            ("id_b", "ascending")])
+    return out.take(order)
+
+
+def _tbl_from_ds(ds: "ray.data.Dataset") -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tables) if tables else pa.table({})
 
 
 # ---------------------------------------------------------------------------

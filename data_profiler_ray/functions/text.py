@@ -255,6 +255,15 @@ def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         with np.errstate(over="ignore"):
             terms = raw * pows[exp]
             sums = np.add.reduceat(terms, rel[:-1][nonempty])
+            # splitmix64-style avalanche: the raw polynomial value of a
+            # short string occupies only low bits (h("a") = 97), which
+            # would bias any consumer that reads individual bits (SimHash,
+            # LSH banding); the finalizer spreads entropy over all 64 bits
+            sums ^= sums >> np.uint64(33)
+            sums *= np.uint64(0xFF51AFD7ED558CCD)
+            sums ^= sums >> np.uint64(33)
+            sums *= np.uint64(0xC4CEB9FE1A85EC53)
+            sums ^= sums >> np.uint64(33)
         out[nonempty] = sums
     return out
 

@@ -21,8 +21,8 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import ProfileConfig
-from ..functions.dedup import (embedding_dup_pairs, exact_dedup,
-                               minhash_dedup, simhash_candidates)
+from ..functions.dedup import (embedding_all_pairs_exact, embedding_dup_pairs,
+                               exact_dedup, minhash_dedup, simhash_candidates)
 from ..functions.similarity import knn_brute_force, knn_ivf
 from ..functions.text import (fingerprint_batch, language_id_batch,
                               quality_score_batch, token_count_batch)
@@ -490,7 +490,9 @@ def exact_dedup_documents(sf_dir: str) -> pa.Table:
 
 
 def minhash_dedup_documents(sf_dir: str) -> pa.Table:
-    return minhash_dedup(_read(sf_dir, "documents"), threshold=0.7)
+    surv = _tbl(minhash_dedup(_read(sf_dir, "documents"), threshold=0.7))
+    return surv.take(pc.sort_indices(surv, sort_keys=[("doc_id",
+                                                       "ascending")]))
 
 
 def simhash_candidates_documents(sf_dir: str) -> pa.Table:
@@ -503,8 +505,27 @@ def simhash_candidates_documents(sf_dir: str) -> pa.Table:
 
 
 def embedding_dup_pairs_query(sf_dir: str) -> pa.Table:
-    return _tbl(embedding_dup_pairs(_read(sf_dir, "embeddings"),
-                                    threshold=0.95))
+    """Exact all-pairs cosine ≥ 0.45 (the driver embeddings fixture has no
+    planted near-dups — max pairwise cosine ≈ 0.51 — so the near-dup
+    threshold is set where the data has mass; SQL-checkable vs a DuckDB
+    self-join)."""
+    out = embedding_all_pairs_exact(_read(sf_dir, "embeddings"),
+                                    threshold=0.45)
+    return out.set_column(out.column_names.index("cosine"), "cosine",
+                          pa.array(_round(out.column("cosine").to_numpy(
+                              zero_copy_only=False), 4), pa.float64()))
+
+
+def embedding_dup_pairs_lsh(sf_dir: str) -> pa.Table:
+    """Hyperplane-LSH approximate variant of the same all-pairs query
+    (8 tables × 8 bits; rows-only — recall < 1 is inherent to LSH)."""
+    tbl = _tbl(embedding_dup_pairs(_read(sf_dir, "embeddings"),
+                                   threshold=0.45, n_bits=8, n_tables=8))
+    if tbl.num_rows == 0:
+        return tbl
+    df = tbl.to_pandas().sort_values(["id_a", "id_b"])
+    df["cosine"] = _round(df["cosine"], 4)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -638,6 +659,7 @@ QUERIES = {
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_candidates_documents": simhash_candidates_documents,
     "embedding_dup_pairs": embedding_dup_pairs_query,
+    "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "knn_embeddings": knn_embeddings,
     "knn_embeddings_ivf": knn_embeddings_ivf,
     "token_counts_documents": token_counts_documents,
@@ -750,6 +772,14 @@ ORACLE_SQL = {
     "exact_dedup_documents": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
         "ORDER BY doc_id"),
+    "embedding_dup_pairs": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))) + 1e-9, 4) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.45 "
+        "ORDER BY id_a, id_b"),
     "knn_embeddings": (
         "SELECT vec_id, ROUND((list_cosine_similarity("
         "CAST(embedding AS DOUBLE[]), "

@@ -37,6 +37,7 @@ import os
 import pickle
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -119,24 +120,23 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
 
         def _constraint_job():
             """Consume the constraint stream WITHOUT materializing verdict
-            rows on the driver: verdict rows (O(#conversations)) are written
-            to per-partition parquet from the WORKERS (idempotent
+            OR violation rows on the driver: both are written to
+            per-partition parquet from the WORKERS (idempotent
             content-hashed filenames, so task retries overwrite identically;
-            on a cluster this path would be shared/object storage), and only
-            per-part tally rows + the capped violation rows come back."""
+            on a cluster this path would be shared/object storage).
+            Violation rows are capped per kind per task
+            (``max_violations_per_kind``); only per-part TALLY rows — a few
+            ints each — come back to the driver, so driver memory is
+            independent of violation count (round-1 scale-killer #6)."""
             t = time.time()
             cc = conversation_checks(ds_narrow, ccfg,
-                                     emit_row_violations=True).materialize()
-            viol = _concat(cc.map_batches(
-                lambda b: b.filter(pc.and_(
-                    pc.not_equal(b.column("kind"), "__verdict__"),
-                    pc.not_equal(b.column("kind"), "__boundary__"))),
-                batch_format="pyarrow"))
+                                     emit_row_violations=True)
             tallies = _concat_any(cc.map_batches(
-                _VerdictWriter(os.path.join(out, "parts")),
+                _PartOutputWriter(os.path.join(out, "parts"),
+                                  ccfg.max_violations_per_kind),
                 batch_format="pyarrow"))
             timings["constraints"] = time.time() - t
-            return viol, tallies
+            return tallies
 
         # two concurrent executions would EACH schedule up to the full CPU
         # count (2× oversubscription); cap the shared execution budget so
@@ -157,23 +157,22 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             f_prof = pool.submit(_profile_job)
             f_con = pool.submit(_constraint_job)
             states = f_prof.result()
-            violations, tally_tbl = f_con.result()
+            tally_tbl = f_con.result()
         if prev_limits is not None:
             ctx.execution_options.resource_limits = prev_limits
-        violations = violations.cast(VIOLATION_SCHEMA)
         tallies_by_part: dict[str, dict] = {}
         if tally_tbl.num_rows:
             for r in tally_tbl.to_pylist():
                 agg = tallies_by_part.setdefault(
-                    r["part"], {"n_conversations": 0, "n_failed": 0,
-                                "n_turns": 0})
-                agg["n_conversations"] += r["n_conversations"]
-                agg["n_failed"] += r["n_failed"]
-                agg["n_turns"] += r["n_turns"]
+                    r["part"], {k: 0 for k in _TALLY_COUNT_COLS})
+                for k in _TALLY_COUNT_COLS:
+                    agg[k] += r[k]
         prof_s = timings.get("profile", time.time() - t0w)
         con_s = timings.get("constraints", time.time() - t0w)
 
-        # --- per-partition checkpoint outputs ---
+        # --- per-partition checkpoint outputs (driver work: O(#parts) tiny
+        # JSON/pickle writes; violation + verdict parquet already written
+        # by the workers) ---
         state_by_part: dict[str, tuple[int, bytes]] = {}
         if states is not None:
             for part, rows, blob in zip(states.column("part").to_pylist(),
@@ -187,20 +186,20 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             rows, blob = state_by_part.get(part, (0, pickle.dumps((0, {}))))
             with open(os.path.join(pdir, "state.pkl"), "wb") as f:
                 f.write(blob)
-            pv = violations.filter(pc.equal(violations.column("part"), part))
-            pq.write_table(pv, os.path.join(pdir, "violations.parquet"))
-            kinds = pv.column("kind").to_pylist()
             tal = tallies_by_part.get(
-                part, {"n_conversations": 0, "n_failed": 0, "n_turns": 0})
+                part, {k: 0 for k in _TALLY_COUNT_COLS})
+            by_kind = {k[4:]: tal[k] for k in _TALLY_COUNT_COLS
+                       if k.startswith("n_v_") and tal[k] > 0}
+            n_viol = sum(by_kind.values())
             lineage = {
                 "part": part,
                 "input_path": path,
                 "rows_in": rows,
                 "n_conversations": tal["n_conversations"],
-                "n_violations": pv.num_rows,
-                "violations_by_kind": {k: kinds.count(k) for k in set(kinds)},
+                "n_violations": n_viol,
+                "violations_by_kind": by_kind,
                 "n_failed_conversations": tal["n_failed"],
-                "passed": pv.num_rows == 0,
+                "passed": n_viol == 0,
                 "state_digest": hashlib.sha256(blob).hexdigest()[:16],
                 "profile_stage_s": round(prof_s, 3),
                 "constraint_stage_s": round(con_s, 3),
@@ -267,58 +266,95 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
     return summary
 
 
-_VERDICT_ROLLUP_MAX_ROWS = 5_000_000
+_VERDICT_ROLLUP_MAX_ROWS = 200_000
+
+_VIOLATION_KINDS = ("duplicate_key", "turn_gap", "ts_regression",
+                    "bad_role", "dangling_tool")
+_TALLY_COUNT_COLS = (("n_conversations", "n_failed", "n_turns")
+                     + tuple(f"n_v_{k}" for k in _VIOLATION_KINDS))
+_TALLY_SCHEMA = pa.schema([("part", pa.string())]
+                          + [(c, pa.int64()) for c in _TALLY_COUNT_COLS])
 
 
-class _VerdictWriter:
-    """map_batches callable: decode the batch's verdict rows, write them to
-    ``<parts_root>/<part>/verdicts/v-<digest>.parquet`` from the worker, and
-    emit ONE tally row per part — the driver never sees verdict rows.
+class _PartOutputWriter:
+    """map_batches callable over the conversation_checks stream: writes the
+    batch's verdict rows to ``<parts_root>/<part>/verdicts/v-<digest>.
+    parquet`` and its violation rows (capped per kind per task) to
+    ``<parts_root>/<part>/violations/x-<digest>.parquet`` from the WORKER,
+    and emits ONE tally row per part — the driver never sees verdict or
+    violation rows, so its memory is independent of violation count.
 
-    Filenames are content-hashed over the batch's conv_ids, so a retried
-    task overwrites its own file idempotently. Local-mode note: workers and
-    driver share the filesystem; on a multi-node cluster ``parts_root``
-    must be shared/object storage.
+    Per-kind counts in the tally are PRE-cap (exact totals); only the
+    persisted example rows are capped. Filenames are content-hashed over
+    the batch's conv_ids, so a retried task overwrites its own file
+    idempotently. Local-mode note: workers and driver share the
+    filesystem; on a multi-node cluster ``parts_root`` must be
+    shared/object storage.
     """
 
-    def __init__(self, parts_root: str):
+    def __init__(self, parts_root: str, max_per_kind: int):
         self.parts_root = parts_root
+        self.max_per_kind = max_per_kind
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.constraints import split_verdicts
-        vrows = batch.filter(pc.equal(batch.column("kind"), "__verdict__"))
-        empty = pa.table({"part": pa.array([], pa.string()),
-                          "n_conversations": pa.array([], pa.int64()),
-                          "n_failed": pa.array([], pa.int64()),
-                          "n_turns": pa.array([], pa.int64())})
-        if vrows.num_rows == 0:
-            return empty
-        _, verdicts = split_verdicts(vrows)
-        parts, n_conv, n_fail, n_turn = [], [], [], []
-        for part in pc.unique(verdicts.column("part")).to_pylist():
-            sub = verdicts.filter(pc.equal(verdicts.column("part"), part))
-            pdir = os.path.join(self.parts_root, str(part), "verdicts")
-            os.makedirs(pdir, exist_ok=True)
-            digest = hashlib.md5(
-                "".join(sub.column("conv_id").to_pylist()).encode()
-            ).hexdigest()[:16]
-            pq.write_table(sub, os.path.join(pdir, f"v-{digest}.parquet"))
-            parts.append(part)
-            n_conv.append(sub.num_rows)
-            n_fail.append(int(pc.sum(pc.cast(pc.invert(sub.column("passed")),
-                                             pa.int64())).as_py() or 0))
-            n_turn.append(int(pc.sum(sub.column("n_turns")).as_py() or 0))
-        return pa.table({"part": pa.array(parts, pa.string()),
-                         "n_conversations": pa.array(n_conv, pa.int64()),
-                         "n_failed": pa.array(n_fail, pa.int64()),
-                         "n_turns": pa.array(n_turn, pa.int64())})
-
-
-def _concat(ds: "ray.data.Dataset") -> pa.Table:
-    tables = list(ds.iter_batches(batch_format="pyarrow"))
-    if not tables:
-        return VIOLATION_SCHEMA.empty_table()
-    return pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in tables])
+        if batch.num_rows == 0:
+            return _TALLY_SCHEMA.empty_table()
+        is_v = pc.equal(batch.column("kind"), "__verdict__")
+        vrows = batch.filter(is_v)
+        viol = batch.filter(pc.invert(is_v))
+        verdicts = split_verdicts(vrows)[1] if vrows.num_rows else None
+        parts: set[str] = set()
+        if verdicts is not None:
+            parts |= set(pc.unique(verdicts.column("part")).to_pylist())
+        if viol.num_rows:
+            parts |= set(pc.unique(viol.column("part")).to_pylist())
+        rows = []
+        for part in sorted(p for p in parts if p is not None):
+            row = {"part": part, **{c: 0 for c in _TALLY_COUNT_COLS}}
+            if verdicts is not None:
+                sub = verdicts.filter(pc.equal(verdicts.column("part"), part))
+                if sub.num_rows:
+                    pdir = os.path.join(self.parts_root, part, "verdicts")
+                    os.makedirs(pdir, exist_ok=True)
+                    digest = hashlib.md5(
+                        "".join(sub.column("conv_id").to_pylist()).encode()
+                    ).hexdigest()[:16]
+                    pq.write_table(sub, os.path.join(pdir,
+                                                     f"v-{digest}.parquet"))
+                    row["n_conversations"] = sub.num_rows
+                    row["n_failed"] = int(pc.sum(pc.cast(
+                        pc.invert(sub.column("passed")),
+                        pa.int64())).as_py() or 0)
+                    row["n_turns"] = int(pc.sum(
+                        sub.column("n_turns")).as_py() or 0)
+            if viol.num_rows:
+                sv = viol.filter(pc.equal(viol.column("part"), part))
+                if sv.num_rows:
+                    kinds = sv.column("kind").to_numpy(zero_copy_only=False)
+                    keep_idx = []
+                    for k in _VIOLATION_KINDS:
+                        idx = np.flatnonzero(kinds == k)
+                        row[f"n_v_{k}"] = int(idx.size)
+                        keep_idx.append(idx[: self.max_per_kind])
+                    other = np.flatnonzero(~np.isin(kinds,
+                                                    _VIOLATION_KINDS))
+                    if other.size:  # unknown kinds: keep capped, count too
+                        keep_idx.append(other[: self.max_per_kind])
+                    capped = sv.take(pa.array(np.sort(
+                        np.concatenate(keep_idx))))
+                    pdir = os.path.join(self.parts_root, part, "violations")
+                    os.makedirs(pdir, exist_ok=True)
+                    digest = hashlib.md5(
+                        ("|".join(capped.column("conv_id").to_pylist())
+                         + f"|{capped.num_rows}").encode()).hexdigest()[:16]
+                    pq.write_table(capped.cast(VIOLATION_SCHEMA),
+                                   os.path.join(pdir,
+                                                f"x-{digest}.parquet"))
+            rows.append(row)
+        if not rows:
+            return _TALLY_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_TALLY_SCHEMA)
 
 
 def _concat_any(ds: "ray.data.Dataset") -> pa.Table:

@@ -40,7 +40,9 @@ def docs_with_dups():
 def test_minhash_dedup_finds_planted_dups(docs_with_dups):
     tbl, expect = docs_with_dups
     ds = ray.data.from_arrow(tbl)
-    keep = minhash_dedup(ds, threshold=0.5)["doc_id"].to_pylist()
+    keep = pa.concat_tables(list(
+        minhash_dedup(ds, threshold=0.5).iter_batches(
+            batch_format="pyarrow")))["doc_id"].to_pylist()
     for dup, orig in expect.items():
         assert dup not in keep, f"doc {dup} (dup of {orig}) should be dropped"
         assert orig in keep
@@ -106,6 +108,60 @@ def test_embedding_dup_pairs():
     assert (0, 40) in got
     assert (1, 41) in got
     assert len(got) <= 4  # no spurious explosion
+
+
+def test_embedding_lsh_recall_planted():
+    """Multi-table LSH finds ≥90% of planted near-dup pairs that exact
+    all-pairs finds at the same threshold (500 vecs, 40 planted)."""
+    from data_profiler_ray.functions.dedup import embedding_all_pairs_exact
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((500, 64))
+    ids = list(range(500))
+    vecs = list(base)
+    for j in range(40):  # planted near-dups of vectors 0..39
+        vecs.append(base[j] + rng.standard_normal(64) * 0.05)
+        ids.append(500 + j)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.astype(np.float32).tolist()
+                                           for v in vecs],
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    exact = embedding_all_pairs_exact(ds, threshold=0.95).to_pandas()
+    expect = set(map(tuple, exact[["id_a", "id_b"]].values))
+    assert len(expect) >= 35  # the planted pairs are above threshold
+    approx = pa.concat_tables(list(
+        embedding_dup_pairs(ray.data.from_arrow(tbl), threshold=0.95,
+                            n_bits=8, n_tables=8)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    got = set(map(tuple, approx[["id_a", "id_b"]].values))
+    assert got <= expect or all(p in expect for p in got)  # no false pairs
+    assert len(got & expect) / len(expect) >= 0.9
+
+
+def test_verify_jaccard_worker_path_matches_driver_sets():
+    """Distributed Jaccard scoring equals a direct python-set computation."""
+    from data_profiler_ray.functions.dedup import verify_jaccard
+    rng = np.random.default_rng(3)
+    vocab = "aa bb cc dd ee ff gg hh ii jj".split()
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts)})
+    pairs = pa.table({"id_a": pa.array([0, 1, 2, 5], pa.int64()),
+                      "id_b": pa.array([3, 4, 7, 39], pa.int64())})
+    out = verify_jaccard(ray.data.from_arrow(tbl), pairs,
+                         threshold=0.0).to_pandas()
+
+    def sets(t, k=3):
+        toks = t.lower().split()
+        if len(toks) < k:
+            return {tuple(toks)}
+        return {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    for _, r in out.iterrows():
+        sa, sb = sets(texts[int(r.id_a)]), sets(texts[int(r.id_b)])
+        want = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+        assert abs(r.jaccard - want) < 1e-9, (r.id_a, r.id_b)
 
 
 def test_knn_brute_force_vs_numpy(sf_dir):
