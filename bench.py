@@ -26,6 +26,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "1000000"))
 BENCH_SHARDS = int(os.environ.get("BENCH_SHARDS", "64"))
+# scaling runs use a larger input so per-block compute dominates the fixed
+# coordination path (sort sampling, driver checkpoint writes) — the sandbox
+# analogue of "a cluster-size criterion is measured at cluster-scale data"
+SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "4000000"))
+SCALING_SHARDS = int(os.environ.get("SCALING_SHARDS", "64"))
 
 
 def _init_ray(num_cpus: int):
@@ -38,19 +43,21 @@ def _init_ray(num_cpus: int):
     ctx.enable_progress_bars = False
 
 
-def _transcripts_dir() -> str:
+def _transcripts_dir(n_turns: int | None = None,
+                     n_shards: int | None = None) -> str:
     from data_profiler_ray.synthetic import transcripts_path
-    return transcripts_path(BENCH_TURNS, seed=42, dup_frac=0.001,
+    return transcripts_path(n_turns or BENCH_TURNS, seed=42, dup_frac=0.001,
                             bad_role_frac=0.001, dangling_tool_frac=0.05,
-                            num_shards=BENCH_SHARDS)
+                            num_shards=n_shards or BENCH_SHARDS)
 
 
-def run_validation_job(out_dir: str) -> dict:
+def run_validation_job(out_dir: str, n_turns: int | None = None,
+                       n_shards: int | None = None) -> dict:
     """The headline job: full profile + constraint pass over transcripts."""
     from data_profiler_ray.config import ConstraintConfig, ValidationConfig
     from data_profiler_ray.pipelines.validate import run_validation
     from data_profiler_ray.synthetic import TOOL_REGISTRY
-    tdir = _transcripts_dir()
+    tdir = _transcripts_dir(n_turns, n_shards)
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = ValidationConfig(
         constraints=ConstraintConfig(tool_registry=TOOL_REGISTRY),
@@ -136,7 +143,8 @@ def _warmup():
 def scaling_worker(num_cpus: int):
     _init_ray(num_cpus)
     _warmup()
-    res = run_validation_job(f"/tmp/dpr_scaling_out_{num_cpus}")
+    res = run_validation_job(f"/tmp/dpr_scaling_out_{num_cpus}",
+                             n_turns=SCALING_TURNS, n_shards=SCALING_SHARDS)
     print("SCALING_RESULT " + json.dumps(
         {"num_cpus": num_cpus, **{k: round(v, 3) for k, v in res.items()}}))
     import ray
@@ -177,7 +185,7 @@ def scaling():
         },
         "turns_per_sec": {str(c): round(results[c]["turns_per_sec"], 1)
                           for c in (2, 8, 32)},
-        "bench_turns": BENCH_TURNS,
+        "bench_turns": SCALING_TURNS,
     }
     print(json.dumps(out))
     return out

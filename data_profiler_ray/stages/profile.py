@@ -116,28 +116,33 @@ def profile_partials_by_part(ds: "ray.data.Dataset", config: ProfileConfig,
     partials = ds.map_batches(
         _PartialProfiler(arrow_schema, config, part_column=part_column),
         batch_format="pyarrow", batch_size=config.batch_size)
-    merged: dict[str, tuple[int, dict]] = {}
+    # collect raw blobs per part first: with shard-aligned blocks (one read
+    # task per file) every part has exactly ONE partial, and its pickled
+    # state passes through untouched — the unpickle+merge+repickle path
+    # (measured ~2.4 s driver-serial at 64 parts × 0.5 MB) runs only for
+    # parts that were split across blocks
+    blobs_by_part: dict[str, list[tuple[int, bytes]]] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
-        for part, blob in zip(b.column("part").to_pylist(),
-                              b.column("state").to_pylist()):
-            rows, accs = pickle.loads(blob)
-            if part in merged:
-                prev_rows, prev = merged[part]
-                for name, acc in accs.items():
-                    if name in prev:
-                        prev[name].merge(acc)
-                    else:
-                        prev[name] = acc
-                merged[part] = (prev_rows + rows, prev)
-            else:
-                merged[part] = (rows, accs)
-    parts = sorted(merged)
+        for part, nrows, blob in zip(b.column("part").to_pylist(),
+                                     b.column("rows").to_pylist(),
+                                     b.column("state").to_pylist()):
+            blobs_by_part.setdefault(part, []).append((nrows, blob))
+    parts = sorted(blobs_by_part)
+    rows_out, state_out = [], []
+    for p in parts:
+        entries = blobs_by_part[p]
+        if len(entries) == 1:
+            rows_out.append(entries[0][0])
+            state_out.append(entries[0][1])
+        else:
+            rows, accs = _merge_states([e[1] for e in entries])
+            rows_out.append(rows)
+            state_out.append(pickle.dumps((rows, accs),
+                                          protocol=pickle.HIGHEST_PROTOCOL))
     return pa.table({
         "part": pa.array(parts, pa.string()),
-        "rows": pa.array([merged[p][0] for p in parts], pa.int64()),
-        "state": pa.array(
-            [pickle.dumps(merged[p], protocol=pickle.HIGHEST_PROTOCOL)
-             for p in parts], pa.large_binary()),
+        "rows": pa.array(rows_out, pa.int64()),
+        "state": pa.array(state_out, pa.large_binary()),
     })
 
 
