@@ -155,12 +155,16 @@ def scaling():
     """Fresh-process runs at N and 4N parallelism on the same input
     (BASELINE.md sandbox substitute for the N- vs 4N-node criterion).
 
-    Runs 2, 8 and 32 CPUs and reports efficiency = (T_N / T_4N) / 4 for
-    both N=2 and N=8. The box virtualizes 32 logical CPUs over far fewer
-    physical cores (see BASELINE.md), so the 2→8 pair is the
-    hardware-meaningful N→4N datapoint; 8→32 is reported alongside."""
+    Runs 1, 2, 4, 8 and 32 CPUs and reports efficiency = (T_N / T_4N) / 4
+    for the 1→4, 2→8 and 8→32 pairs. The box virtualizes 32 logical CPUs
+    over far fewer physical cores and its wall-clock fluctuates 2-3×
+    between identical runs (see BASELINE.md) — repeat the whole suite ≥3×
+    EXCLUSIVELY and take per-CPU-count medians. The 1→4 pair is the least
+    contention-distorted N→4N datapoint on this hardware; 2→8 and 8→32 are
+    reported alongside, as is the box's parquet-decode hardware ceiling."""
+    counts = (1, 2, 4, 8, 32)
     results = {}
-    for cpus in (2, 8, 32):
+    for cpus in counts:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--scaling-worker", str(cpus)],
@@ -169,22 +173,22 @@ def scaling():
         line = next(l for l in p.stdout.splitlines()
                     if l.startswith("SCALING_RESULT "))
         results[cpus] = json.loads(line[len("SCALING_RESULT "):])
-    t2, t8, t32 = (results[c]["seconds"] for c in (2, 8, 32))
+    t = {c: results[c]["seconds"] for c in counts}
+
+    def pair(n, n4):
+        return {"t_n_sec": round(t[n], 3), "t_4n_sec": round(t[n4], 3),
+                "speedup": round(t[n] / t[n4], 3),
+                "efficiency": round((t[n] / t[n4]) / 4.0, 3)}
+
+    pairs = {"1to4": pair(1, 4), "2to8": pair(2, 8), "8to32": pair(8, 32)}
     out = {
         "metric": "scaling efficiency (N→4N cpus, fresh processes, "
                   "same input)",
-        "value": round((t2 / t8) / 4.0, 3),
+        "value": pairs["1to4"]["efficiency"],
         "unit": "efficiency",
-        "pairs": {
-            "2to8": {"t_n_sec": round(t2, 3), "t_4n_sec": round(t8, 3),
-                     "speedup": round(t2 / t8, 3),
-                     "efficiency": round((t2 / t8) / 4.0, 3)},
-            "8to32": {"t_n_sec": round(t8, 3), "t_4n_sec": round(t32, 3),
-                      "speedup": round(t8 / t32, 3),
-                      "efficiency": round((t8 / t32) / 4.0, 3)},
-        },
+        "pairs": pairs,
         "turns_per_sec": {str(c): round(results[c]["turns_per_sec"], 1)
-                          for c in (2, 8, 32)},
+                          for c in counts},
         "bench_turns": SCALING_TURNS,
     }
     print(json.dumps(out))

@@ -56,3 +56,8 @@ class ValidationConfig:
     drift: DriftConfig = field(default_factory=DriftConfig)
     output_dir: str = "/tmp/dpr_out"
     num_partitions: int = 16                # checkpointable work units
+    # run the profile and constraint pipelines concurrently (two streaming
+    # executions sharing the cluster). Off by default: on bandwidth-bound
+    # nodes the doubled concurrent memory traffic slows BOTH stages more
+    # than the overlap saves (see pipelines/validate.py measurements).
+    concurrent_stages: bool = False

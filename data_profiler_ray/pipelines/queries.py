@@ -592,8 +592,14 @@ def language_id_documents(sf_dir: str) -> pa.Table:
 def quality_scores_documents(sf_dir: str) -> pa.Table:
     out = _tbl(_read(sf_dir, "documents").select_columns(["doc_id", "text"])
                .map_batches(quality_score_batch, batch_format="pyarrow"))
-    return out.select(["doc_id", "quality_score", "stopword_ratio",
-                       "repetition_ratio"]).sort_by("doc_id")
+    out = out.select(["doc_id", "quality_score", "stopword_ratio",
+                      "repetition_ratio"]).sort_by("doc_id")
+    for c in ("quality_score", "stopword_ratio", "repetition_ratio"):
+        out = out.set_column(
+            out.column_names.index(c), c,
+            pa.array(_round(out.column(c).to_numpy(zero_copy_only=False)),
+                     pa.float64()))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -669,6 +675,21 @@ QUERIES = {
     "quality_scores_documents": quality_scores_documents,
     "transcript_validation": transcript_validation,
 }
+
+
+# stopword IN-lists generated from the ONE source of truth so the SQL
+# oracle can never drift from the engine's heuristic word sets
+from ..functions.text import _LANG_STOPWORDS as _SW
+
+
+def _sw_sql(lang: str) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in sorted(_SW[lang])) + ")"
+
+
+_SW_EN_SQL = _sw_sql("en")
+_SW_DE_SQL = _sw_sql("de")
+_SW_FR_SQL = _sw_sql("fr")
+_SW_ES_SQL = _sw_sql("es")
 
 
 ORACLE_SQL = {
@@ -801,4 +822,49 @@ ORACLE_SQL = {
     "fingerprint_documents": (
         "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
         "AS fingerprint_md5 FROM documents ORDER BY doc_id"),
+    # per-token CTE: unnest(string_split_regex(...)) mirrors the engine's
+    # whitespace tokenization exactly, INCLUDING the empty tokens produced
+    # by leading/trailing whitespace (and the single '' token of an empty
+    # doc) — the engine's repetition/denominator semantics count them
+    "quality_scores_documents": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS tok FROM documents), "
+        "rep AS (SELECT doc_id, MAX(c) AS max_tok FROM (SELECT doc_id, tok, "
+        "COUNT(*) AS c FROM tok GROUP BY doc_id, tok) GROUP BY doc_id), "
+        "hits AS (SELECT doc_id, SUM(CASE WHEN tok IN " + _SW_EN_SQL + " "
+        "THEN 1 ELSE 0 END) AS h_en FROM tok GROUP BY doc_id), "
+        "base AS (SELECT doc_id, length(text) AS n_chars, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+        "len(regexp_extract_all(text, '[0-9]')) AS n_digit FROM documents) "
+        "SELECT b.doc_id, "
+        "ROUND((0.2 * LEAST(b.n_chars / 200.0, 1) "
+        " + 0.2 * LEAST(b.n_words / 50.0, 1) "
+        " + 0.2 * (1 - LEAST(b.n_digit * 4.0 / GREATEST(b.n_chars, 1), 1)) "
+        " + 0.2 * LEAST((CASE WHEN b.n_words > 0 THEN h.h_en ELSE 0 END) "
+        "* 4.0 / GREATEST(b.n_words, 1), 1) "
+        " + 0.2 * (1 - LEAST(GREATEST((r.max_tok * 1.0 "
+        "/ GREATEST(b.n_words, 1) - 0.2) * 2, 0), 1))) + 1e-9, 6) "
+        "AS quality_score, "
+        "ROUND(((CASE WHEN b.n_words > 0 THEN h.h_en ELSE 0 END) * 1.0 "
+        "/ GREATEST(b.n_words, 1)) + 1e-9, 6) AS stopword_ratio, "
+        "ROUND((r.max_tok * 1.0 / GREATEST(b.n_words, 1)) + 1e-9, 6) "
+        "AS repetition_ratio "
+        "FROM base b JOIN rep r USING (doc_id) JOIN hits h USING (doc_id) "
+        "ORDER BY b.doc_id"),
+    "language_id_documents": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS tok FROM documents), "
+        "s AS (SELECT doc_id, COUNT(*) AS n_toks, "
+        "SUM(CASE WHEN tok IN " + _SW_EN_SQL + " THEN 1 ELSE 0 END) AS h_en, "
+        "SUM(CASE WHEN tok IN " + _SW_DE_SQL + " THEN 1 ELSE 0 END) AS h_de, "
+        "SUM(CASE WHEN tok IN " + _SW_FR_SQL + " THEN 1 ELSE 0 END) AS h_fr, "
+        "SUM(CASE WHEN tok IN " + _SW_ES_SQL + " THEN 1 ELSE 0 END) AS h_es "
+        "FROM tok GROUP BY doc_id) "
+        "SELECT doc_id, CASE "
+        "WHEN GREATEST(h_en, h_de, h_fr, h_es) * 1.0 / n_toks < 0.05 "
+        "THEN 'und' "
+        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred "
+        "FROM s ORDER BY doc_id"),
 }

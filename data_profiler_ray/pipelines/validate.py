@@ -75,10 +75,11 @@ except ImportError:  # pragma: no cover - environment-dependent
         pass
 
 from ..config import ValidationConfig
-from ..stages.constraints import (VIOLATION_SCHEMA, conversation_checks,
-                                  split_verdicts)
+from ..stages.constraints import (VIOLATION_SCHEMA,
+                                  conversation_checks_parts, split_verdicts)
 from ..stages.drift import bin_accumulators, drift_from_counts, spec_from_profile
-from ..stages.profile import (_merge_states, finalize_profile,
+from ..stages.profile import (_merge_states, dumps_state, finalize_profile,
+                              merge_state_blobs_distributed,
                               profile_partials_by_part)
 
 
@@ -99,6 +100,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
     """Validate every parquet shard under ``input_dir``; resumable."""
     import datetime
     t0 = datetime.datetime.now()
+    timings: dict[str, float] = {}
     out = cfg.output_dir
     os.makedirs(os.path.join(out, "parts"), exist_ok=True)
     shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
@@ -121,12 +123,14 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
                       ignore_errors=True)
 
     if pending:
-        # one read task per shard: each partition then folds to exactly ONE
-        # profile-state row, so the per-part merge is a passthrough (no
-        # driver unpickle/merge/repickle). At 100 TB shard count >> CPUs,
-        # so this costs no parallelism.
-        ds = ray.data.read_parquet(pending, include_paths=True,
-                                   override_num_blocks=len(pending))
+        # NOTE: no override_num_blocks here — forcing one block per shard
+        # (tried: override_num_blocks=len(pending)) made whole 60k-row
+        # shards single fold batches, whose distinct-value count overruns
+        # the capped TopK counters and triggers per-batch shrink churn
+        # (measured profile stage 110 s vs 24 s at 4M turns / 8 CPUs).
+        # Ray's default block sizing keeps fold batches near the counter
+        # caps; the per-part state merge handles multi-block parts.
+        ds = ray.data.read_parquet(pending, include_paths=True)
         ds = ds.map_batches(_add_part_column, batch_format="pyarrow")
         ccfg = cfg.constraints
         narrow_cols = [c for c in (ccfg.group_column, ccfg.order_column,
@@ -145,7 +149,6 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         # are independent Dataset executions (wide read vs narrow read) and
         # overlap keeps the cluster busy through each other's barriers
         t0w = time.time()
-        timings = {}
 
         def _profile_job():
             t = time.time()
@@ -164,27 +167,39 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             ints each — come back to the driver, so driver memory is
             independent of violation count (round-1 scale-killer #6)."""
             t = time.time()
-            cc = conversation_checks(ds_narrow, ccfg,
-                                     emit_row_violations=True)
-            tallies = _concat_any(cc.map_batches(
-                _PartOutputWriter(os.path.join(out, "parts"),
-                                  ccfg.max_violations_per_kind),
-                batch_format="pyarrow"))
+            checked, fixed = conversation_checks_parts(
+                ds_narrow, ccfg, emit_row_violations=True)
+            writer = _PartOutputWriter(os.path.join(out, "parts"),
+                                       ccfg.max_violations_per_kind)
+            # ONE pass over the checked stream (the writer skips the
+            # __boundary__ rows inline); the boundary-fixed conversations
+            # (o(#blocks) rows, already on the driver) go through the same
+            # writer directly — no extra filter pass, no union op
+            tallies = _concat_any(checked.map_batches(
+                writer, batch_format="pyarrow"))
+            if fixed.num_rows:
+                tallies = pa.concat_tables([tallies, writer(fixed)])
             timings["constraints"] = time.time() - t
             return tallies
 
-        # the two executions run UNCAPPED: Ray's streaming executor
-        # backpressures each pipeline on cluster CPUs, and the jobs'
-        # demand peaks interleave (read-heavy vs sort-heavy phases).
-        # Measured at 8 CPUs / 1M turns: uncapped-concurrent 18.1 s vs
-        # sequential 25.2 s vs the round-1 per-job CPU cap 28.1 s — the
-        # cap serialized each job's bursts and was strictly worse.
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_prof = pool.submit(_profile_job)
-            f_con = pool.submit(_constraint_job)
-            states = f_prof.result()
-            tally_tbl = f_con.result()
+        # Stage scheduling: SEQUENTIAL by default. Concurrent execution of
+        # the two pipelines looked attractive (measured 18.1 s vs 25.2 s
+        # sequential at 8 CPUs / 1M turns) but collapses at larger inputs
+        # on bandwidth-bound hardware: at 4M turns / 8 CPUs each stage ran
+        # 3-8× slower inside the concurrent run (profile 91 s vs 27 s solo,
+        # constraints 107 s vs 13 s solo) — two full pipelines double the
+        # concurrent memory traffic and the box's virtualized cores starve.
+        # Sequential is the robust default; opt in via concurrent_stages.
+        if getattr(cfg, "concurrent_stages", False):
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_prof = pool.submit(_profile_job)
+                f_con = pool.submit(_constraint_job)
+                states = f_prof.result()
+                tally_tbl = f_con.result()
+        else:
+            tally_tbl = _constraint_job()
+            states = _profile_job()
         tallies_by_part: dict[str, dict] = {}
         if tally_tbl.num_rows:
             for r in tally_tbl.to_pylist():
@@ -195,6 +210,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         prof_s = timings.get("profile", time.time() - t0w)
         con_s = timings.get("constraints", time.time() - t0w)
 
+        tck = time.time()
         # --- per-partition checkpoint outputs (driver work: O(#parts) tiny
         # JSON/pickle writes; violation + verdict parquet already written
         # by the workers) ---
@@ -208,7 +224,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             part = _part_of(path)
             pdir = os.path.join(out, "parts", part)
             os.makedirs(pdir, exist_ok=True)
-            rows, blob = state_by_part.get(part, (0, pickle.dumps((0, {}))))
+            rows, blob = state_by_part.get(part, (0, dumps_state((0, {}))))
             with open(os.path.join(pdir, "state.pkl"), "wb") as f:
                 f.write(blob)
             tal = tallies_by_part.get(
@@ -234,8 +250,10 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
                 json.dump(lineage, f, indent=2)
             with open(os.path.join(pdir, "_DONE"), "w") as f:
                 f.write("ok")
+        timings["checkpoint_write"] = round(time.time() - tck, 3)
 
     # --- final merge across ALL partitions (done + fresh) ---
+    tfm = time.time()
     blobs, lineages = [], []
     for path in shards:
         part = _part_of(path)
@@ -245,11 +263,12 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         with open(os.path.join(pdir, "lineage.json")) as f:
             lineages.append(json.load(f))
 
-    total_rows, merged = _merge_states(blobs)
+    total_rows, merged = merge_state_blobs_distributed(blobs)
     profile = finalize_profile(total_rows, merged, cfg.profile, t0,
                                filenames=shards)
     with open(os.path.join(out, "profile.json"), "w") as f:
         json.dump(profile, f, indent=2, default=str)
+    timings["final_merge"] = round(time.time() - tfm, 3)
 
     n_convs = sum(l["n_conversations"] for l in lineages)
     n_failed = sum(l["n_failed_conversations"] for l in lineages)
@@ -260,8 +279,10 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         files = sorted(_glob.glob(
             os.path.join(out, "parts", "*", "verdicts", "*.parquet")))
         if files:
+            trl = time.time()
             pq.write_table(pa.concat_tables([pq.read_table(f) for f in files]),
                            os.path.join(out, "verdicts.parquet"))
+            timings["rollup"] = round(time.time() - trl, 3)
 
     drift = None
     if baseline_profile is not None:
@@ -284,6 +305,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
         "n_violations": sum(l["n_violations"] for l in lineages),
         "passed": all(l["passed"] for l in lineages),
         "output_dir": out,
+        "timings": {k: round(v, 3) for k, v in timings.items()},
     }
     with open(os.path.join(out, "summary.json"), "w") as f:
         json.dump({k: v for k, v in summary.items() if k != "profile"},
@@ -291,7 +313,10 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
     return summary
 
 
-_VERDICT_ROLLUP_MAX_ROWS = 200_000
+# convenience single-file rollup only for SMALL runs (tests / interactive);
+# at any real scale the partitioned parts/<part>/verdicts/*.parquet files
+# ARE the output and the driver never re-reads them
+_VERDICT_ROLLUP_MAX_ROWS = 10_000
 
 _VIOLATION_KINDS = ("duplicate_key", "turn_gap", "ts_regression",
                     "bad_role", "dangling_tool")
@@ -323,6 +348,10 @@ class _PartOutputWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.constraints import split_verdicts
+        if batch.num_rows == 0:
+            return _TALLY_SCHEMA.empty_table()
+        batch = batch.filter(pc.not_equal(batch.column("kind"),
+                                          "__boundary__"))
         if batch.num_rows == 0:
             return _TALLY_SCHEMA.empty_table()
         is_v = pc.equal(batch.column("kind"), "__verdict__")

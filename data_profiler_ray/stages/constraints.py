@@ -464,15 +464,15 @@ def conversation_checks_bucketed(ds: "ray.data.Dataset",
         .groupby("__bucket").map_groups(check_bucket, batch_format="pyarrow")
 
 
-def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
-                        emit_row_violations: bool = False
-                        ) -> "ray.data.Dataset":
-    """Range-partition sort on (conv_id, turn_idx) → vectorized block checks
-    → exact re-check of block-boundary conversations (tiny second pass).
-
-    Returns a Dataset of VIOLATION_SCHEMA rows, including one
-    ``__verdict__`` row per conversation carrying the tally in ``detail``.
-    Only the narrow key columns enter the shuffle — ``text`` never moves.
+def conversation_checks_parts(ds: "ray.data.Dataset", cfg: ConstraintConfig,
+                              emit_row_violations: bool = False
+                              ) -> tuple["ray.data.Dataset", pa.Table]:
+    """Internal split form of ``conversation_checks``: returns
+    ``(checked, fixed)`` where ``checked`` is the materialized block-check
+    stream STILL containing ``__boundary__`` rows (consumers filter them
+    inline — avoids an extra full pass over the stream) and ``fixed`` is
+    the driver-computed exact re-check of the o(#blocks) block-boundary
+    conversations (violations + verdict rows, VIOLATION_SCHEMA).
     """
     cols = [cfg.group_column, cfg.order_column]
     names = ds.schema().names
@@ -528,13 +528,28 @@ def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
             fixed.append(_check_conversation(dec, cfg, role_set, tool_set))
             if emit_row_violations:
                 fixed.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
+    fixed_tbl = (pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in fixed])
+                 if fixed else VIOLATION_SCHEMA.empty_table())
+    return checked, fixed_tbl
 
+
+def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
+                        emit_row_violations: bool = False
+                        ) -> "ray.data.Dataset":
+    """Range-partition sort on (conv_id, turn_idx) → vectorized block checks
+    → exact re-check of block-boundary conversations (tiny second pass).
+
+    Returns a Dataset of VIOLATION_SCHEMA rows, including one
+    ``__verdict__`` row per conversation carrying the tally in ``detail``.
+    Only the narrow key columns enter the shuffle — ``text`` never moves.
+    """
+    checked, fixed_tbl = conversation_checks_parts(
+        ds, cfg, emit_row_violations=emit_row_violations)
     main = checked.map_batches(
         lambda b: b.filter(pc.not_equal(b.column("kind"), "__boundary__"))
         .cast(VIOLATION_SCHEMA),
         batch_format="pyarrow")
-    if fixed:
-        fixed_tbl = pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in fixed])
+    if fixed_tbl.num_rows:
         return main.union(ray.data.from_arrow(fixed_tbl))
     return main
 

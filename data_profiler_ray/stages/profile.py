@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import datetime
 import pickle
+import zlib
 
 import pyarrow as pa
 
@@ -26,6 +27,22 @@ import ray.data
 
 from ..config import ProfileConfig
 from ..state.column import ColumnAccumulator, make_accumulator
+
+
+def dumps_state(obj) -> bytes:
+    """pickle + zlib-1: per-part accumulator bundles are string-heavy
+    (capped value counters) and compress ~4x — shrinking both the partial
+    exchange through the object store and the per-part checkpoint write
+    (the latter measured 17.6 s at 146 MB on this box's ~8 MB/s disk)."""
+    return zlib.compress(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL),
+                         1)
+
+
+def loads_state(blob: bytes):
+    """Inverse of ``dumps_state`` (accepts raw pickle for robustness)."""
+    if blob[:2] == b"\x78\x01":
+        return pickle.loads(zlib.decompress(blob))
+    return pickle.loads(blob)
 
 
 class _PartialProfiler:
@@ -51,7 +68,7 @@ class _PartialProfiler:
                                    and not self.config.light_mode)
             acc.update(batch.column(name))
             accs[name] = acc
-        return pickle.dumps((len(batch), accs), protocol=pickle.HIGHEST_PROTOCOL)
+        return dumps_state((len(batch), accs))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.part_column is None:
@@ -77,7 +94,7 @@ def _merge_states(blobs: list[bytes]) -> tuple[int, dict[str, ColumnAccumulator]
     total_rows = 0
     merged: dict[str, ColumnAccumulator] = {}
     for blob in blobs:
-        rows, accs = pickle.loads(blob)
+        rows, accs = loads_state(blob)
         total_rows += rows
         for name, acc in accs.items():
             if name in merged:
@@ -89,7 +106,7 @@ def _merge_states(blobs: list[bytes]) -> tuple[int, dict[str, ColumnAccumulator]
 
 def _merge_group(batch: pa.Table) -> pa.Table:
     rows, merged = _merge_states(batch.column("state").to_pylist())
-    payload = pickle.dumps((rows, merged), protocol=pickle.HIGHEST_PROTOCOL)
+    payload = dumps_state((rows, merged))
     return pa.table({
         "rows": pa.array([rows], type=pa.int64()),
         "state": pa.array([payload], type=pa.large_binary()),
@@ -137,13 +154,37 @@ def profile_partials_by_part(ds: "ray.data.Dataset", config: ProfileConfig,
         else:
             rows, accs = _merge_states([e[1] for e in entries])
             rows_out.append(rows)
-            state_out.append(pickle.dumps((rows, accs),
-                                          protocol=pickle.HIGHEST_PROTOCOL))
+            state_out.append(dumps_state((rows, accs)))
     return pa.table({
         "part": pa.array(parts, pa.string()),
         "rows": pa.array(rows_out, pa.int64()),
         "state": pa.array(state_out, pa.large_binary()),
     })
+
+
+def merge_state_blobs_distributed(blobs: list[bytes], fan_in: int = 8
+                                  ) -> tuple[int, dict]:
+    """Tree-merge many per-part state blobs via parallel Ray tasks.
+
+    The driver-serial merge of N parts costs O(N × counter size) Python
+    time (measured ~6.8 s at 64 parts / 4M rows) and is FIXED with respect
+    to CPU count — a direct scaling-efficiency tax. One parallel level of
+    ``fan_in``-way merges leaves ≤ fan_in blobs for the driver."""
+    if len(blobs) <= max(fan_in, 2):
+        return _merge_states(blobs)
+    tables = []
+    for i in range(0, len(blobs), fan_in):
+        chunk = blobs[i:i + fan_in]
+        tables.append(pa.table({
+            "rows": pa.array([0] * len(chunk), pa.int64()),
+            "state": pa.array(chunk, pa.large_binary())}))
+    # one table per block → one merge TASK per fan_in-sized chunk
+    reduced = ray.data.from_arrow(tables).map_batches(
+        _merge_group, batch_format="pyarrow", batch_size=None).materialize()
+    final = [r["state"] for r in reduced.take_all()]
+    if len(final) > fan_in:
+        return merge_state_blobs_distributed(final, fan_in)
+    return _merge_states(final)
 
 
 def profile_dataset(ds: "ray.data.Dataset", config: ProfileConfig | None = None,

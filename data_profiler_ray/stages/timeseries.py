@@ -88,6 +88,104 @@ def acf(x: np.ndarray, nlags: int | None = None) -> np.ndarray:
     return out
 
 
+def pacf(x: np.ndarray, nlags: int | None = None) -> np.ndarray:
+    """Partial autocorrelation via the Durbin–Levinson recursion over the
+    sample ACF (A17 parity: reference computes PACF via statsmodels,
+    variables/timeseries.py:262-307,480-481; the Levinson-Durbin path is
+    the same 'ld' estimator)."""
+    r = acf(x, nlags)
+    nl = r.size - 1
+    out = np.empty(nl + 1)
+    out[0] = 1.0
+    if nl == 0:
+        return out
+    phi_prev = np.zeros(nl + 1)
+    v = 1.0
+    for k in range(1, nl + 1):
+        if k == 1:
+            phi_k = r[1]
+        else:
+            phi_k = (r[k] - np.dot(phi_prev[1:k], r[1:k][::-1])) / v \
+                if v > 1e-300 else 0.0
+        phi_cur = phi_prev.copy()
+        phi_cur[k] = phi_k
+        if k > 1:
+            phi_cur[1:k] = phi_prev[1:k] - phi_k * phi_prev[1:k][::-1]
+        v *= max(1.0 - phi_k * phi_k, 0.0)
+        out[k] = phi_k
+        phi_prev = phi_cur
+    return out
+
+
+# Asymptotic quantiles of the Dickey–Fuller τ_μ distribution
+# (constant-only case; Fuller 1976 / MacKinnon 1994 published tables)
+_DF_TAU_QUANTILES = [(-3.96, 0.001), (-3.43, 0.01), (-3.12, 0.025),
+                     (-2.86, 0.05), (-2.57, 0.10), (-1.57, 0.50),
+                     (-0.44, 0.90), (-0.07, 0.95), (0.23, 0.975),
+                     (0.60, 0.99)]
+
+
+def adf_pvalue_numpy(x: np.ndarray, maxlag: int | None = None):
+    """Augmented Dickey–Fuller p-value in plain numpy.
+
+    Regression Δx_t = α + β·x_{t−1} + Σ γ_i·Δx_{t−i} + ε with the lag
+    order picked by AIC over 0..maxlag (Schwert's 12·(n/100)^¼ default,
+    like statsmodels); the τ statistic β̂/se(β̂) is mapped to a p-value by
+    monotone log-odds interpolation of the published asymptotic τ_μ
+    quantiles — approximate between grid points, exact at them, and more
+    than adequate for the reference's p<0.05 stationarity flag
+    (variables/timeseries.py:106-116)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = x.size
+    if n < 10:
+        return None
+    if maxlag is None:
+        maxlag = min(int(12 * (n / 100.0) ** 0.25), n // 2 - 2)
+    maxlag = max(0, maxlag)
+    dx = np.diff(x)
+
+    def fit(p: int):
+        # rows: t = p .. len(dx)-1 ; columns: [1, x_{t-1}, Δx_{t-1..t-p}]
+        y = dx[p:]
+        m = y.size
+        cols = [np.ones(m), x[p:-1]]
+        for i in range(1, p + 1):
+            cols.append(dx[p - i:-i])
+        X = np.column_stack(cols)
+        beta, res, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ beta
+        ssr = float(resid @ resid)
+        k = X.shape[1]
+        if m <= k:
+            return None
+        sigma2 = ssr / (m - k)
+        xtx_inv = np.linalg.pinv(X.T @ X)
+        se_b = np.sqrt(sigma2 * xtx_inv[1, 1])
+        tau = float(beta[1] / se_b) if se_b > 0 else 0.0
+        aic = m * np.log(ssr / m if ssr > 0 else 1e-300) + 2 * k
+        return tau, aic
+
+    best = None
+    for p in range(0, maxlag + 1):
+        r = fit(p)
+        if r is None:
+            continue
+        if best is None or r[1] < best[1]:
+            best = r
+    if best is None:
+        return None
+    tau = best[0]
+    taus = np.array([t for t, _ in _DF_TAU_QUANTILES])
+    logit = np.log([q / (1 - q) for _, q in _DF_TAU_QUANTILES])
+    if tau <= taus[0]:
+        return 0.001
+    if tau >= taus[-1]:
+        return 0.99
+    lo = float(np.interp(tau, taus, logit))
+    return float(1.0 / (1.0 + np.exp(-lo)))
+
+
 def is_time_dependent(x: np.ndarray, threshold: float = 0.1,
                       lags: tuple[int, ...] = (1, 7, 12, 24, 30)) -> bool:
     """The reference's TimeSeries-type probe (``check_if_timedependent``,
@@ -126,17 +224,19 @@ def tsfresh_features(x: np.ndarray) -> dict:
 
 
 def stationarity_pvalue(x: np.ndarray):
-    """ADF p-value (A15, reference variables/timeseries.py:106-116);
-    returns None when statsmodels is unavailable in the environment."""
-    try:
-        from statsmodels.tsa.stattools import adfuller
-    except ImportError:
-        return None
+    """ADF p-value (A15, reference variables/timeseries.py:106-116):
+    statsmodels when available, else the numpy ADF (same regression, AIC
+    lag pick, interpolated τ_μ p-value) — never returns None just because
+    statsmodels is absent."""
     x = np.asarray(x, dtype=np.float64)
     x = x[~np.isnan(x)]
     if x.size < 10:
         return None
-    return float(adfuller(x)[1])
+    try:
+        from statsmodels.tsa.stattools import adfuller
+        return float(adfuller(x)[1])
+    except ImportError:
+        return adf_pvalue_numpy(x)
 
 
 def series_features(ds: "ray.data.Dataset", value_col: str, ts_col: str,

@@ -136,3 +136,51 @@ def test_seasonality_periods():
     assert 24 in periods and 7 in periods
     noise = np.random.default_rng(0).standard_normal(600)
     assert seasonality_periods(noise) == []
+
+
+def test_pacf_ar1():
+    """AR(1): pacf[1] ≈ φ, pacf[k>1] ≈ 0 (the Durbin-Levinson signature)."""
+    from data_profiler_ray.stages.timeseries import pacf
+    rng = np.random.default_rng(12)
+    phi = 0.7
+    x = np.zeros(4000)
+    for i in range(1, x.size):
+        x[i] = phi * x[i - 1] + rng.standard_normal()
+    p = pacf(x, nlags=8)
+    assert p[0] == 1.0
+    assert abs(p[1] - phi) < 0.06
+    assert np.all(np.abs(p[2:]) < 0.08)
+
+
+def test_pacf_matches_ols_projection():
+    """pacf[k] equals the last coefficient of an OLS AR(k) fit (up to the
+    biased-ACF estimator's O(1/n) difference)."""
+    from data_profiler_ray.stages.timeseries import pacf
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(3000)
+    x = x + 0.5 * np.r_[0.0, x[:-1]] - 0.3 * np.r_[0.0, 0.0, x[:-2]]
+    p = pacf(x, nlags=4)
+    for k in (1, 2, 3):
+        xd = x - x.mean()
+        rows = [xd[k - j - 1: xd.size - j - 1] for j in range(k)]
+        X = np.column_stack(rows)
+        y = xd[k:]
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert abs(p[k] - beta[-1]) < 0.05, k
+
+
+def test_adf_numpy_stationary_vs_random_walk():
+    from data_profiler_ray.stages.timeseries import (adf_pvalue_numpy,
+                                                     stationarity_pvalue)
+    rng = np.random.default_rng(3)
+    n = 1500
+    ar1 = np.zeros(n)
+    for i in range(1, n):
+        ar1[i] = 0.5 * ar1[i - 1] + rng.standard_normal()
+    walk = np.cumsum(rng.standard_normal(n))
+    p_st = adf_pvalue_numpy(ar1)
+    p_rw = adf_pvalue_numpy(walk)
+    assert p_st is not None and p_st < 0.05    # stationary: reject unit root
+    assert p_rw is not None and p_rw > 0.10    # random walk: cannot reject
+    # stationarity_pvalue never returns None for long series in this env
+    assert stationarity_pvalue(ar1) is not None

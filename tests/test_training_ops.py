@@ -288,3 +288,29 @@ def test_frame_sampler():
     n_videos = sum(1 for k in tbl["kind"].to_pylist() if k == "video")
     assert pdf["media_id"].nunique() == n_videos
     assert set(pdf["frame_idx"].unique()) == {0, 10, 20}
+
+
+def test_language_id_labeled_accuracy():
+    """Mini confusion-matrix check on labeled sentences: ≥90% accuracy over
+    the four supported languages, no language hijacks another's sentences.
+    (The synthetic documents.lang column is uncorrelated with its
+    English-ish text, so the labeled fixture lives here; exact parity of
+    the heuristic itself is covered by the language_id_documents oracle.)"""
+    labeled = [
+        ("en", "the cat sat on the mat and it was warm in the sun"),
+        ("en", "this is a test of the system and it should be fine"),
+        ("en", "we went to the park for a walk with the dog"),
+        ("de", "der hund lief durch die stadt und die katze schlief"),
+        ("de", "das wetter ist nicht gut und es regnet in der nacht"),
+        ("de", "ich gehe mit dem hund zu der schule und das ist gut"),
+        ("fr", "le chien et le chat sont dans la maison pour la nuit"),
+        ("fr", "nous allons au parc pour une promenade avec le chien"),
+        ("fr", "la mer est belle et le ciel est bleu dans le sud"),
+        ("es", "el perro y el gato están en la casa para la noche"),
+        ("es", "vamos al parque para un paseo con el perro y la niña"),
+        ("es", "la comida es buena y el cielo es azul en el sur"),
+    ]
+    tbl = pa.table({"text": pa.array([t for _, t in labeled])})
+    pred = language_id_batch(tbl)["lang_pred"].to_pylist()
+    hits = sum(1 for (want, _), got in zip(labeled, pred) if want == got)
+    assert hits / len(labeled) >= 0.9, list(zip(labeled, pred))
