@@ -555,6 +555,18 @@ def minhash_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id",
 # SimHash
 
 
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-element Python)."""
+    v = v.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((v * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.int32)
+
+
 class SimHasher:
     """map_batches callable: 64-bit SimHash signature per document.
 
@@ -634,7 +646,7 @@ def _simhash_segment_pairs(tbl: pa.Table, max_hamming: int,
         sg = sigs[s:e][idx]
         iu = np.triu_indices(uniq.size, k=1)
         x = sg[iu[0]] ^ sg[iu[1]]
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int32)
+        ham = _popcount64(x)
         keep = ham <= max_hamming
         a_p.append(uniq[iu[0]][keep])
         b_p.append(uniq[iu[1]][keep])

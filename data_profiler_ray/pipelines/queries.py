@@ -454,6 +454,63 @@ def rolling_avg_events(sf_dir: str) -> pa.Table:
         df.sort_values(["user_id", "event_id"]), preserve_index=False)
 
 
+_SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 2023
+
+
+def split_documents(sf_dir: str) -> pa.Table:
+    """Deterministic key-hash train/val/test split (training-data op):
+    split is a pure function of doc_id — shard order, worker count and
+    reruns can't move a document across splits."""
+    from ..functions.sampling import hash_split
+    out = _tbl(hash_split(_read(sf_dir, "documents")
+                          .select_columns(["doc_id"]),
+                          "doc_id", _SPLIT_RATIOS, seed=_SPLIT_SEED))
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id",
+                                                     "ascending")]))
+
+
+def _split_sql() -> str:
+    from ..functions.sampling import KNUTH, split_edges
+    e = split_edges(_SPLIT_RATIOS)
+    names = list(_SPLIT_RATIOS)
+    case = " ".join(f"WHEN h < {edge} THEN '{name}'"
+                    for edge, name in zip(e[:-1], names[:-1]))
+    return (f"SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split "
+            f"FROM (SELECT doc_id, ((doc_id + {_SPLIT_SEED}) * {int(KNUTH)})"
+            f" % 4294967296 AS h FROM documents) ORDER BY doc_id")
+
+
+def asof_price_events(sf_dir: str) -> pa.Table:
+    """As-of join custom op (J-family beyond the reference): each event
+    picks up the most recent order total of the same user (right side
+    deduped to one row per (custkey, day) so the as-of pick is
+    deterministic on both engines). Right side broadcast via ray.put."""
+    from ..functions.joins import asof_join
+    orders = _tbl(_read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_totalprice"]))
+    df = orders.to_pandas().groupby(["o_custkey", "o_orderdate"],
+                                    as_index=False)["o_totalprice"].max()
+    right = pa.table({
+        "user_id": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
+        "ts": pa.Table.from_pandas(df, preserve_index=False)
+        .column("o_orderdate").cast(pa.timestamp("us")),
+        "price": pa.array(df["o_totalprice"].to_numpy(), pa.float64()),
+    })
+    ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    out = _tbl(asof_join(ds, right, by="user_id", on="ts",
+                         value_cols=["price"]))
+    vals = out.column("price_asof").to_numpy(zero_copy_only=False)
+    rounded = _round(vals, 2)
+    price = pa.array(np.where(np.isnan(rounded), None, rounded),
+                     pa.float64(), from_pandas=True)
+    res = pa.table({"event_id": out.column("event_id").cast(pa.int64()),
+                    "user_id": out.column("user_id").cast(pa.int64()),
+                    "price_asof": price})
+    return res.take(pc.sort_indices(res, sort_keys=[("event_id",
+                                                     "ascending")]))
+
+
 def referential_orders_customers(sf_dir: str) -> pa.Table:
     """Broadcast anti-join: customer keys via ray.put, pc.is_in probe (J3)."""
     import ray as _ray
@@ -660,6 +717,8 @@ QUERIES = {
     "user_event_gaps": user_event_gaps,
     "sessionize_events": sessionize_events,
     "rolling_avg_events": rolling_avg_events,
+    "asof_price_events": asof_price_events,
+    "split_documents": split_documents,
     "referential_orders_customers": referential_orders_customers,
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
@@ -787,6 +846,15 @@ ORACLE_SQL = {
         "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
         "AS gap_us FROM events)) "
         "GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "split_documents": _split_sql(),
+    "asof_price_events": (
+        "WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots, "
+        "MAX(o_totalprice) AS price FROM orders GROUP BY 1, 2) "
+        "SELECT e.event_id, e.user_id, "
+        "ROUND((r.price) + 1e-9, 2) AS price_asof "
+        "FROM events e ASOF LEFT JOIN r "
+        "ON e.user_id = r.o_custkey AND r.ots <= e.ts "
+        "ORDER BY e.event_id"),
     "referential_orders_customers": (
         "SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_dangling "
         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),

@@ -3,10 +3,11 @@
 Media travel as opaque ``binary`` columns with typed metadata columns
 (format, width/height or sample-rate/duration). The Ray-side plumbing —
 schema, actor-pool stage shape, small batch sizes for large payloads,
-output layout — is real and tested; the actual codec work is STUBBED
-(``NotImplementedError``) because no image/audio libraries exist in this
-container. Pass ``fake=True`` for a deterministic hash-based fake decode so
-pipelines and tests can exercise the full path.
+output layout — is real and tested. Decode is REAL for the formats a
+library-free container can parse (uncompressed 24-bit **BMP** and PCM-16
+**WAV**, via ``functions/codecs.py`` — pure struct+numpy); formats that
+need external codecs (png/jpeg/mp4) raise ``NotImplementedError`` unless
+``fake=True`` selects the deterministic digest-based fake decode.
 
 Batch-size guidance baked in: payload stages default to small
 ``batch_size`` so batch_bytes × concurrency stays inside a worker heap
@@ -21,6 +22,9 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+from ..functions.codecs import (audio_features, decode_bmp, decode_wav_pcm16,
+                                encode_bmp, encode_wav_pcm16, image_features)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -37,13 +41,37 @@ DEFAULT_MEDIA_BATCH_SIZE = 32  # large payloads → small batches
 
 
 def synthesize_media(n: int, seed: int = 42,
-                     payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+                     payload_bytes: int = 4096,
+                     real_codecs: bool = False) -> pa.Table:
+    """Deterministic media table for plumbing tests.
+
+    With ``real_codecs=True`` image payloads are REAL 64×64 BMPs and audio
+    payloads REAL 16 kHz PCM-16 WAVs (sine + noise), so the decode stage
+    runs its true parsing path; video stays opaque bytes (no mp4 codec).
+    """
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    fmts = {"image": "png", "audio": "wav", "video": "mp4"}
-    payloads = [rng.integers(0, 256, size=payload_bytes,
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+    if real_codecs:
+        fmts = {"image": "bmp", "audio": "wav", "video": "mp4"}
+        payloads = []
+        for k in kinds:
+            if k == "image":
+                img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+                payloads.append(encode_bmp(img))
+            elif k == "audio":
+                t = np.arange(16000) / 16000.0
+                f0 = float(rng.uniform(100, 2000))
+                s = (0.5 * np.sin(2 * np.pi * f0 * t)
+                     + 0.05 * rng.standard_normal(t.size))
+                payloads.append(encode_wav_pcm16(
+                    (s * 32767 * 0.5).astype(np.int16), 16000))
+            else:
+                payloads.append(rng.integers(0, 256, size=payload_bytes,
+                                             dtype=np.uint8).tobytes())
+    else:
+        fmts = {"image": "png", "audio": "wav", "video": "mp4"}
+        payloads = [rng.integers(0, 256, size=payload_bytes,
+                                 dtype=np.uint8).tobytes() for _ in range(n)]
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds, pa.string()),
@@ -82,11 +110,22 @@ class MediaFeatureExtractor:
         self.fake = fake
 
     def _decode(self, kind: str, fmt: str, payload: bytes) -> np.ndarray:
+        # REAL decode for the formats parseable without external libs
+        if fmt == "bmp":
+            return image_features(decode_bmp(payload), self.feat_dim)
+        if fmt == "wav":
+            try:
+                samples, rate = decode_wav_pcm16(payload)
+                return audio_features(samples, rate, self.feat_dim)
+            except ValueError:
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
-                "media codecs (PIL/libsndfile/ffmpeg) are not available in "
-                "this environment; construct with fake=True for the "
-                "deterministic digest-based fake decode")
+                "png/jpeg/mp4 codecs (PIL/libsndfile/ffmpeg) are not "
+                "available in this environment; bmp/wav decode natively, "
+                "or construct with fake=True for the deterministic "
+                "digest-based fake decode")
         digest = hashlib.blake2b(payload, digest_size=8,
                                  person=kind[:8].encode()).digest()
         rng = np.random.default_rng(int.from_bytes(digest, "little"))

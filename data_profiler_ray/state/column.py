@@ -128,11 +128,21 @@ class _DistinctMixin:
             return
         vc = valid.value_counts()
         vals_arr = vc.field("values")
-        vals = vals_arr.to_pylist()
         counts = vc.field("counts").to_numpy(zero_copy_only=False)
         # hash the distinct values ONCE (vectorized) — feeds both the HLL
-        # and the long-string key compression below
-        h = hash64(np.asarray(vals, dtype=object))
+        # and the long-string key compression below. Strings hash straight
+        # off the UTF-8 byte buffer; other types through their numpy dtype
+        # — the object-array path is a last resort (decimals etc.)
+        t = vals_arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            from ..functions.text import hash_string_array
+            h = hash_string_array(vals_arr)
+        else:
+            try:
+                h = hash64(vals_arr.to_numpy(zero_copy_only=False))
+            except (TypeError, ValueError, pa.ArrowInvalid):
+                h = hash64(np.asarray(vals_arr.to_pylist(), dtype=object))
+        vals = vals_arr.to_pylist()
         self.hll.update_hashes(h)
         key_cap = getattr(self, "_LONG_KEY", 0)
         if key_cap:

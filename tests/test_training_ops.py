@@ -314,3 +314,77 @@ def test_language_id_labeled_accuracy():
     pred = language_id_batch(tbl)["lang_pred"].to_pylist()
     hits = sum(1 for (want, _), got in zip(labeled, pred) if want == got)
     assert hits / len(labeled) >= 0.9, list(zip(labeled, pred))
+
+
+def test_hash_split_deterministic_and_balanced():
+    from data_profiler_ray.functions.sampling import hash_split, split_filter
+    n = 20000
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = pa.concat_tables(list(
+        hash_split(ray.data.from_arrow(tbl), "doc_id", ratios)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # key-stable: shuffled input produces identical per-key assignment
+    perm = tbl.take(pa.array(np.random.default_rng(0).permutation(n)))
+    out2 = pa.concat_tables(list(
+        hash_split(ray.data.from_arrow(perm), "doc_id", ratios)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    m1 = out.set_index("doc_id")["split"]
+    m2 = out2.set_index("doc_id")["split"]
+    assert (m1.sort_index() == m2.sort_index()).all()
+    # split_filter streams exactly the train subset
+    kept = pa.concat_tables(list(
+        split_filter(ray.data.from_arrow(tbl), "doc_id", ratios, "train")
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    assert set(kept["doc_id"]) == set(m1[m1 == "train"].index)
+
+
+def test_hash_split_string_keys():
+    from data_profiler_ray.functions.sampling import hash_split
+    tbl = pa.table({"conv_id": pa.array([f"conv-{i:05d}" for i in
+                                         range(5000)])})
+    out = pa.concat_tables(list(
+        hash_split(ray.data.from_arrow(tbl), "conv_id",
+                   {"a": 0.5, "b": 0.5}).iter_batches(
+            batch_format="pyarrow"))).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["a"] - 0.5) < 0.03
+
+
+def test_bmp_wav_roundtrip():
+    from data_profiler_ray.functions.codecs import (
+        decode_bmp, decode_wav_pcm16, encode_bmp, encode_wav_pcm16)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    s = (np.sin(np.arange(8000) / 10.0) * 20000).astype(np.int16)
+    dec, rate = decode_wav_pcm16(encode_wav_pcm16(s, 22050))
+    assert rate == 22050
+    assert np.allclose(dec, s / 32768.0, atol=1e-4)
+
+
+def test_real_codec_feature_extraction():
+    """Real BMP/WAV payloads run the TRUE decode path (fake=False) end to
+    end through the actor-pool stage; png/mp4 still gate."""
+    tbl = synthesize_media(60, seed=5, real_codecs=True)
+    keep = pa.compute.is_in(tbl["kind"], value_set=pa.array(["image",
+                                                            "audio"]))
+    media = tbl.filter(keep)
+    ds = ray.data.from_arrow(media)
+    out = pa.concat_tables(list(
+        extract_media_features(ds, fake=False, feat_dim=16)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    assert len(out) == media.num_rows
+    feats = np.stack(out["feature"].to_numpy())
+    assert feats.shape[1] == 16
+    assert np.isfinite(feats).all()
+    # image features: mean channels of uniform-random pixels ≈ 0.5
+    img_rows = out[out["kind"] == "image"].index
+    assert np.allclose(feats[img_rows, :3], 0.5, atol=0.05)
+    # audio features: rms of 0.25-amplitude sine ≈ 0.25/sqrt(2)
+    aud_rows = out[out["kind"] == "audio"].index
+    assert np.allclose(feats[aud_rows, 0], 0.25 / np.sqrt(2), atol=0.03)
