@@ -30,13 +30,16 @@ def profile_tabular(input_path: str | list[str] | "ray.data.Dataset",
                     types_dict: dict[str, str] | None = None,
                     light_mode: bool = False,
                     max_freq_distr: int = 10,
-                    num_cat_perc_threshold: float = 0.5) -> dict:
+                    num_cat_perc_threshold: float = 0.5,
+                    extra_geometry_columns: list[dict] | None = None) -> dict:
     """Profile a tabular input → reference-shaped dict
-    (tabular_timeseries/profiler.py:18-64)."""
+    (tabular_timeseries/profiler.py:18-64). ``extra_geometry_columns``
+    derives WKT point columns pre-profile (reference utils.py:82-90)."""
     if isinstance(input_path, ray.data.Dataset):
         ds, filenames = input_path, []
     else:
-        ds = read_tabular(input_path, header=header, sep=sep)
+        ds = read_tabular(input_path, header=header, sep=sep,
+                          extra_geometry_columns=extra_geometry_columns)
         filenames = [input_path] if isinstance(input_path, str) else list(input_path)
     cfg = ProfileConfig(types_dict=types_dict, light_mode=light_mode,
                         max_freq_distr=max_freq_distr,
@@ -57,7 +60,9 @@ def profile_timeseries(input_path: str | list[str],
     utils.py:274-285 — threshold 0.1 at lags [1,7,12,24,30]); the probe
     runs on a bounded ordered head sample rather than the whole column."""
     ds = read_tabular(input_path, header=header, sep=sep,
-                      ts_mode_datetime_col=ts_mode_datetime_col)
+                      ts_mode_datetime_col=ts_mode_datetime_col,
+                      extra_geometry_columns=kwargs.pop(
+                          "extra_geometry_columns", None))
     cfg = ProfileConfig(**{k: v for k, v in kwargs.items()
                            if k in ProfileConfig.__dataclass_fields__})
     prof = profile_dataset(ds, cfg, filenames=[input_path] if

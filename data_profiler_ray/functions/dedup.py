@@ -224,10 +224,15 @@ def minhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+        batch_format="pyarrow", concurrency=concurrency or (1, 8)
+    ).materialize()
+    # size the sort to the data: tiny corpora would otherwise pay a fixed
+    # multi-second exchange over ~24 near-empty partitions (the materialize
+    # is free — the sort holds the banded set anyway)
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    srt = banded.repartition(min(max(2 * cpus, 8), 24)).sort(
-        ["band", "bucket"])
+    nblocks = max(2, min(min(max(2 * cpus, 8), 24),
+                         max(2, banded.count() // 100_000)))
+    srt = banded.repartition(nblocks).sort(["band", "bucket"])
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         pairs, bnd = _segment_pairs(batch.combine_chunks(),
@@ -418,7 +423,8 @@ def _score_pairs_block(batch: pa.Table) -> pa.Table:
 def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
                    id_col: str = "doc_id", text_col: str = "text",
                    shingle_k: int = 3, threshold: float = 0.7,
-                   concurrency=None) -> pa.Table:
+                   concurrency=None,
+                   driver_doc_limit: int = 20_000) -> pa.Table:
     """Exact n-gram Jaccard for candidate pairs, scored in WORKERS.
 
     Shape: dedupe pairs (driver, O(#pairs)) → broadcast the doc→pair-slot
@@ -427,6 +433,11 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
     → vectorized per-block segment scan computes |A∩B| / |A∪B|. Driver
     state is O(#pairs) (+ o(#blocks) boundary leftovers); shingle sets
     never accumulate on the driver (round-1 scale-killer #5).
+
+    Small candidate sets (≤ ``driver_doc_limit`` distinct docs) skip the
+    pair-slot shuffle: its sort costs a fixed few seconds that dwarfs tiny
+    corpora, while scoring that many shingle sets on the driver is
+    bounded-memory by construction.
     """
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
@@ -438,10 +449,14 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
     a = pdf["id_a"].to_numpy(np.int64)
     bb = pdf["id_b"].to_numpy(np.int64)
     pair_doc = np.concatenate([a, bb])
+    wanted = np.unique(pair_doc)
+    if wanted.size <= driver_doc_limit:
+        return _verify_jaccard_driver(ds, a, bb, wanted, id_col, text_col,
+                                      shingle_k, threshold)
     pair_idx = np.tile(np.arange(a.size, dtype=np.int64), 2)
     order = np.argsort(pair_doc, kind="stable")
     memb_ref = ray.put((pair_doc[order], pair_idx[order]))
-    wanted_ref = ray.put(pa.array(np.unique(pair_doc), pa.int64()))
+    wanted_ref = ray.put(pa.array(wanted, pa.int64()))
 
     slots = ds.select_columns([id_col, text_col]).map_batches(
         _ShingleSlotEmitter,
@@ -476,6 +491,44 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
     out = pa.table({"id_a": pa.array(a, pa.int64()),
                     "id_b": pa.array(bb, pa.int64()),
                     "jaccard": pa.array(jac_by_pair, pa.float64())})
+    return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+
+def _verify_jaccard_driver(ds: "ray.data.Dataset", a: np.ndarray,
+                           bb: np.ndarray, wanted: np.ndarray, id_col: str,
+                           text_col: str, shingle_k: int,
+                           threshold: float) -> pa.Table:
+    """Small-candidate-set path: shingle sets for the ≤driver_doc_limit
+    involved docs are extracted distributed (one filtered pass) but SCORED
+    on the driver — no sort exchange; memory bounded by the limit."""
+    wanted_set = pa.array(wanted, pa.int64())
+
+    def extract(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(id_col),
+                                    value_set=wanted_set))
+        if sub.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "shingles": pa.array(
+                                 [], pa.large_list(pa.uint64()))})
+        ids, lists = _unique_shingle_lists(sub, id_col, text_col, shingle_k)
+        return pa.table({"id": pa.array(ids, pa.int64()), "shingles": lists})
+
+    sets: dict[int, frozenset] = {}
+    for b in ds.select_columns([id_col, text_col]).map_batches(
+            extract, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for i, sl in zip(b.column("id").to_pylist(),
+                         b.column("shingles").to_pylist()):
+            sets[i] = frozenset(sl)
+    jac = np.empty(a.size, dtype=np.float64)
+    for k, (ia, ib) in enumerate(zip(a, bb)):
+        sa = sets.get(int(ia), frozenset())
+        sb = sets.get(int(ib), frozenset())
+        union = len(sa | sb)
+        jac[k] = (len(sa & sb) / union) if union else 1.0
+    out = pa.table({"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(bb, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64())})
     return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
 
@@ -675,10 +728,12 @@ def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     map_groups overhead dominates at ~1 bucket per doc per band)."""
     banded = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+        batch_format="pyarrow", concurrency=concurrency or (1, 8)
+    ).materialize()
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    srt = banded.repartition(min(max(2 * cpus, 8), 24)).sort(
-        ["band", "bucket"])
+    nblocks = max(2, min(min(max(2 * cpus, 8), 24),
+                         max(2, banded.count() // 100_000)))
+    srt = banded.repartition(nblocks).sort(["band", "bucket"])
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         pairs, bnd = _simhash_segment_pairs(batch.combine_chunks(),

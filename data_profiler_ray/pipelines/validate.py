@@ -182,15 +182,19 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             timings["constraints"] = time.time() - t
             return tallies
 
-        # Stage scheduling: SEQUENTIAL by default. Concurrent execution of
-        # the two pipelines looked attractive (measured 18.1 s vs 25.2 s
-        # sequential at 8 CPUs / 1M turns) but collapses at larger inputs
-        # on bandwidth-bound hardware: at 4M turns / 8 CPUs each stage ran
-        # 3-8× slower inside the concurrent run (profile 91 s vs 27 s solo,
-        # constraints 107 s vs 13 s solo) — two full pipelines double the
-        # concurrent memory traffic and the box's virtualized cores starve.
-        # Sequential is the robust default; opt in via concurrent_stages.
-        if getattr(cfg, "concurrent_stages", False):
+        # Stage scheduling: AUTO by input size. Concurrent execution of the
+        # two pipelines wins while the working set is small (18.1 s vs
+        # 25.2 s sequential at 8 CPUs / 1M turns) but collapses at larger
+        # inputs on bandwidth-bound hardware: at 4M turns / 8 CPUs each
+        # stage ran 3-8× slower inside the concurrent run (profile 91 s vs
+        # 27 s solo, constraints 107 s vs 13 s solo) — two full pipelines
+        # double the concurrent memory traffic and the cores starve.
+        concurrent = getattr(cfg, "concurrent_stages", None)
+        if concurrent is None:
+            pending_bytes = sum(os.path.getsize(p) for p in pending)
+            concurrent = pending_bytes <= getattr(
+                cfg, "concurrent_max_bytes", 256 * 1024 * 1024)
+        if concurrent:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_prof = pool.submit(_profile_job)

@@ -24,12 +24,19 @@ import ray.data
 
 def read_tabular(path: str | list[str], header: int | None = 0,
                  sep: str = ",", encoding: str = "utf-8",
-                 ts_mode_datetime_col: str | None = None) -> "ray.data.Dataset":
+                 ts_mode_datetime_col: str | None = None,
+                 extra_geometry_columns: list[dict] | None = None
+                 ) -> "ray.data.Dataset":
     """Dispatch on extension: parquet / csv / json (reference
     ``read_tabular_timeseries`` dispatch, utils.py:58-111).
 
     ``ts_mode_datetime_col``: sort the dataset by that column (the
     reference's ts-mode index sort, utils.py:100-102) — duplicates are kept.
+
+    ``extra_geometry_columns``: list of ``{"latitude": col, "longitude":
+    col}`` dicts — each pair derives a WKT point column named
+    ``geometry_<lon>_<lat>`` (reference utils.py:82-90, GeoSeries.from_xy →
+    to_wkt; here a stateless vectorized map_batches, no geo libraries).
     """
     paths = [path] if isinstance(path, str) else list(path)
     ext = os.path.splitext(paths[0])[1].lower()
@@ -46,9 +53,45 @@ def read_tabular(path: str | list[str], header: int | None = 0,
         ds = ray.data.read_json(paths)
     else:
         raise ValueError(f"unsupported input extension {ext!r}")
+    if extra_geometry_columns:
+        names = ds.schema().names
+        pairs = [(d["longitude"], d["latitude"])
+                 for d in extra_geometry_columns
+                 if d.get("latitude") in names and d.get("longitude") in names]
+        if pairs:
+            ds = ds.map_batches(_DeriveGeometry(pairs),
+                                batch_format="pyarrow")
     if ts_mode_datetime_col:
         ds = ds.sort(ts_mode_datetime_col)
     return ds
+
+
+class _DeriveGeometry:
+    """map_batches callable: lat/lon float pairs → ``POINT (lon lat)`` WKT
+    strings (shapely-style: ≤6 decimals, trailing zeros trimmed)."""
+
+    def __init__(self, lon_lat_pairs: list[tuple[str, str]]):
+        self.pairs = lon_lat_pairs
+
+    @staticmethod
+    def _fmt(v: float) -> str:
+        import numpy as np
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        return np.format_float_positional(round(float(v), 6), trim="-")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for lon, lat in self.pairs:
+            xs = batch.column(lon).to_pylist()
+            ys = batch.column(lat).to_pylist()
+            wkt = []
+            for x, y in zip(xs, ys):
+                fx, fy = self._fmt(x), self._fmt(y)
+                wkt.append(None if fx is None or fy is None
+                           else f"POINT ({fx} {fy})")
+            batch = batch.append_column(f"geometry_{lon}_{lat}",
+                                        pa.array(wkt, pa.string()))
+        return batch
 
 
 def normalize_columns(ds: "ray.data.Dataset") -> "ray.data.Dataset":

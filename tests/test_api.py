@@ -153,3 +153,17 @@ def test_profile_timeseries_detects_timedependence(tmp_path):
     v = {x["name"]: x for x in prof["variables"]}
     assert v["seasonal"]["type"] == "TimeSeries"
     assert v["noise"]["type"] == "Numeric"
+
+
+def test_extra_geometry_columns(tmp_path):
+    import pyarrow as pa
+    from data_profiler_ray.sources.readers import read_tabular
+    csv = tmp_path / "pois.csv"
+    csv.write_text("name,lat,lon\na,40.5,-3.25\nb,41.123456789,2.0\nc,,-1.0\n")
+    ds = read_tabular(str(csv), extra_geometry_columns=[
+        {"latitude": "lat", "longitude": "lon"}])
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    wkt = out["geometry_lon_lat"].to_pylist()
+    assert wkt[0] == "POINT (-3.25 40.5)"
+    assert wkt[1] == "POINT (2 41.123457)"   # 6-decimal, trimmed
+    assert wkt[2] is None                     # null lat -> null geometry
