@@ -38,10 +38,11 @@ _URL_RE = re.compile(r"\bhttps?://\S+\b")
 
 
 def _stem(tok: str) -> str:
-    for suf in _SUFFIXES:
-        if tok.endswith(suf) and len(tok) - len(suf) >= 3:
-            return tok[: -len(suf)]
-    return tok
+    """Real Porter stemmer (memoized; see functions/stemmer.py). The old
+    light suffix-stripper is kept as the fallback shape only in history —
+    the chain now matches the reference's Snowball-class stemming."""
+    from .stemmer import stem_memo
+    return stem_memo(tok)
 
 
 def clean_text_batch(batch: pa.Table, text_col: str = "text",

@@ -51,3 +51,87 @@ def test_topic_tokens():
     assert topics[0][0] == "data"
     assert topics[0][1] == "ray"
     assert topics[1] == []
+
+
+def test_porter_stemmer_vectors():
+    """Classic vectors from Porter (1980) — exercises every step."""
+    from data_profiler_ray.functions.stemmer import porter_stem
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "failing": "fail", "filing": "file", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "digitizer": "digit",
+        "conformabli": "conform", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in vectors.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_digamma_accuracy():
+    import math
+
+    import numpy as np
+
+    from data_profiler_ray.functions.lda import _digamma
+    # reference values (Abramowitz & Stegun): psi(1) = -euler_gamma,
+    # psi(0.5) = -gamma - 2 ln 2, psi(n) = psi(n-1) + 1/(n-1)
+    g = 0.5772156649015329
+    assert abs(_digamma(np.array([1.0]))[0] - (-g)) < 1e-7
+    assert abs(_digamma(np.array([0.5]))[0] - (-g - 2 * math.log(2))) < 1e-7
+    assert abs(_digamma(np.array([5.0]))[0]
+               - (-g + 1 + 1 / 2 + 1 / 3 + 1 / 4)) < 1e-7
+
+
+def test_lda_recovers_planted_topics():
+    """Two disjoint vocabularies → 2-topic LDA separates them: each
+    topic's top buckets come from one vocabulary only."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from data_profiler_ray.functions.lda import (lda_fit, lda_top_buckets,
+                                                 bucket_examples)
+    rng = np.random.default_rng(17)
+    vocab_a = [f"alpha{i}" for i in range(20)]
+    vocab_b = [f"beta{i}" for i in range(20)]
+    docs = []
+    for _ in range(150):
+        docs.append(" ".join(rng.choice(vocab_a, size=40)))
+        docs.append(" ".join(rng.choice(vocab_b, size=40)))
+    tbl = pa.table({"text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl)
+    model = lda_fit(ds, n_topics=2, n_passes=6, seed=3)
+    assert model["n_docs"] == 300
+    tops = lda_top_buckets(model, top_n=8)
+    ex = bucket_examples(ds)
+    topic_words = [[ex.get(int(b), "?") for b in row] for row in tops]
+    for words in topic_words:
+        a_frac = sum(1 for w in words if w.startswith("alpha")) / len(words)
+        assert a_frac >= 0.9 or a_frac <= 0.1, topic_words
+    # the two topics picked DIFFERENT vocabularies
+    fa0 = sum(1 for w in topic_words[0] if w.startswith("alpha"))
+    fa1 = sum(1 for w in topic_words[1] if w.startswith("alpha"))
+    assert (fa0 > 4) != (fa1 > 4), topic_words
