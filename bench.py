@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "validated_turns_per_sec": ...}
 
-``--scaling``: runs the transcript-validation headline job twice in FRESH
-subprocesses (num_cpus=8 then num_cpus=32, same input) and reports both
-throughputs plus efficiency = (T_8 / T_32) / 4 — the sandbox substitute for
-the north rule's N vs 4N cluster-size criterion (see BASELINE.md).
+``--scaling``: three temporally ADJACENT fresh-process (2-CPU, 8-CPU)
+pairs of the transcript-validation job on the same 4M-turn input, with
+page-cache pre-warm + real-kernel warmup, reporting the MEDIAN pair
+efficiency (T_2 / T_8) / 4 — plus one 8→32 pair and the bracketing
+multiprocessing hardware ceiling. The sandbox substitute for the north
+rule's N vs 4N cluster-size criterion (protocol rationale in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -105,6 +107,15 @@ def main() -> dict:
         ray.data.read_parquet(docs_dir), threshold=0.7).count())
     timed("knn_embeddings", lambda: Q.knn_embeddings(SF_DIR))
     timed("token_quality_documents", lambda: Q.quality_scores_documents(SF_DIR))
+
+    # vector near-dedup at scale: 200k synthetic embeddings, 2k planted
+    # near-dups (cosine ≈ 0.999), multi-table hyperplane LSH + segment scan
+    from data_profiler_ray.functions.dedup import embedding_dup_pairs
+    from data_profiler_ray.synthetic import embeddings_path
+    emb_dir = embeddings_path(200_000, seed=42, dup_frac=0.01)
+    timed("embedding_dedup_200k", lambda: embedding_dup_pairs(
+        ray.data.read_parquet(emb_dir), threshold=0.95, n_bits=14,
+        n_tables=4).count())
 
     out = {
         "metric": "headline pipeline wall (validate transcripts + profile + "

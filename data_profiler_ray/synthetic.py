@@ -209,3 +209,47 @@ def documents_path(n_docs: int, seed: int = 42,
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+def synth_embeddings(n_vecs: int, dim: int = 64, seed: int = 42,
+                     dup_frac: float = 0.01,
+                     noise: float = 0.05) -> "pa.Table":
+    """Deterministic synthetic embedding corpus with planted near-duplicates
+    (cosine ≈ 1 − noise²/2) for vector-dedup benchmarks at scales the
+    driver `embeddings` table (500-2000 rows) doesn't reach."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_vecs, dim)).astype(np.float32)
+    k = int(n_vecs * dup_frac)
+    if k:
+        src = rng.choice(n_vecs, size=k, replace=False)
+        dups = (base[src]
+                + (noise * rng.standard_normal((k, dim))).astype(np.float32))
+        base = np.concatenate([base, dups])
+    n = base.shape[0]
+    flat = pa.array(base.ravel(), pa.float32())
+    offs = pa.array(np.arange(n + 1, dtype=np.int32) * dim, pa.int32())
+    emb = pa.ListArray.from_arrays(offs, flat)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": emb,
+    })
+
+
+def embeddings_path(n_vecs: int, seed: int = 42,
+                    root: str = "/tmp/dpr_embs", **knobs) -> str:
+    key = f"n{n_vecs}_s{seed}" + "".join(
+        f"_{k}{v}" for k, v in sorted(knobs.items()) if v)
+    out = os.path.join(root, key)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = synth_embeddings(n_vecs, seed=seed, **knobs)
+        per = max((tbl.num_rows + 15) // 16, 1)
+        for s_ in range(16):
+            chunk = tbl.slice(s_ * per, per)
+            if chunk.num_rows == 0:
+                break
+            pq.write_table(chunk, os.path.join(out, f"embs-{s_:05d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

@@ -121,3 +121,41 @@ def test_drift_from_checkpoint_matches_report(transcripts_dir, tmp_path):
     with open(os.path.join(cfg.output_dir, "summary.json")) as f:
         summ = json.load(f)
     assert summ["parts_total"] == s["parts_total"]
+
+
+def test_part_output_writer_idempotent(tmp_path):
+    """A retried writer task overwrites its own files byte-identically —
+    the property that makes worker-side checkpoint writes safe under Ray
+    task retries."""
+    import glob
+
+    import pyarrow as pa
+
+    from data_profiler_ray.pipelines.validate import _PartOutputWriter
+    from data_profiler_ray.stages.constraints import VIOLATION_SCHEMA
+    batch = pa.table({
+        "kind": pa.array(["__verdict__", "bad_role", "__verdict__",
+                          "duplicate_key"]),
+        "conv_id": pa.array(["c1", "c1", "c2", "c2"]),
+        "turn_idx": pa.array([5, 2, 3, 1], pa.int32()),
+        "column": pa.array([None, "role", None, None], pa.string()),
+        "value": pa.array([None, "moderator", None, None], pa.string()),
+        "detail": pa.array(["0|0|0|1|0|0", None, "1|0|0|0|0|0", "count=2"],
+                           pa.string()),
+        "part": pa.array(["p0", "p0", "p0", "p0"]),
+    }, schema=VIOLATION_SCHEMA)
+    root = str(tmp_path / "parts")
+    w = _PartOutputWriter(root, max_per_kind=100)
+    t1 = w(batch)
+    files1 = {f: open(f, "rb").read()
+              for f in glob.glob(f"{root}/p0/*/*.parquet")}
+    t2 = w(batch)  # simulated retry
+    files2 = {f: open(f, "rb").read()
+              for f in glob.glob(f"{root}/p0/*/*.parquet")}
+    assert t1.to_pydict() == t2.to_pydict()
+    assert set(files1) == set(files2)          # same file names (digests)
+    assert len(files1) == 2                    # one verdict + one violation
+    row = t1.to_pylist()[0]
+    assert row["n_conversations"] == 2
+    assert row["n_failed"] == 2
+    assert row["n_v_bad_role"] == 1 and row["n_v_duplicate_key"] == 1
