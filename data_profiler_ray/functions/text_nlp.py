@@ -8,16 +8,18 @@ dependency-free equivalent with the SAME pipeline shape (actor-pool
 are available):
 
 - ``clean_text_batch``  — M7: punctuation strip (keep apostrophes, hyphen →
-  space), lowercasing, stopword removal, light suffix-stripping stemmer
-  (Porter-style step-1 suffixes, public algorithm);
-- ``sentiment_batch``   — M9: word-list polarity score in [-1, 1] (VADER
-  compound stand-in; reference ``:442-447``);
+  space), lowercasing, stopword removal, REAL Porter stemmer
+  (functions/stemmer.py, the published 1980 algorithm);
+- ``sentiment_batch``   — M9: VADER-style compound in [-1, 1] (public rule
+  set: negation window, intensifier boost, exclamation emphasis,
+  x/√(x²+α) normalization; reference ``:442-447``);
 - ``ner_batch``         — M10: regex entity extraction (capitalized runs →
   ENTITY, numbers → CARDINAL, emails/URLs typed) instead of spaCy
   ``doc.ents`` (reference ``:449-465``);
-- ``topic_tokens_batch``— M11: top-k frequent non-stopword tokens per doc
-  (LDA num_topics=1 stand-in; reference ``:424-440`` emits one topic's
-  top-10 tokens).
+- ``topic_tokens_batch``— M11 per-doc stand-in: top-k frequent
+  non-stopword tokens (the corpus-level REAL topic model is
+  ``functions/lda.py`` — distributed variational-Bayes LDA; reference
+  ``:424-440``).
 """
 
 from __future__ import annotations
@@ -64,25 +66,75 @@ def clean_text_batch(batch: pa.Table, text_col: str = "text",
     return _set_column(batch, "text_clean", pa.array(out, pa.string()))
 
 
+_NEGATIONS = ("not", "no", "never", "neither", "nor", "cannot", "can't",
+              "don't", "doesn't", "didn't", "isn't", "wasn't", "won't",
+              "wouldn't", "shouldn't", "couldn't", "ain't", "without")
+_INTENSIFIERS = ("very", "really", "extremely", "absolutely", "completely",
+                 "totally", "so", "incredibly", "utterly", "especially")
+_NEGATION_WINDOW = 3        # a negation flips polarity of the next 3 tokens
+_INTENSIFIER_BOOST = 0.293  # VADER's published B_INCR scalar
+
+
 def sentiment_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """M9 polarity score per document in [-1, 1] (VADER-compound shape)."""
+    """M9 polarity per document in [-1, 1], VADER-style heuristics
+    (public rule set — Hutto & Gilbert 2014): word-list valence, negation
+    flips within a 3-token window, intensifier boost, exclamation
+    emphasis, compound normalization x/√(x²+α).
+
+    Fully vectorized over the batch's flat token array: the negation
+    window is a rolling-max of negation flags (cumulative-count trick),
+    masked at document boundaries.
+    """
     from ..pipelines.text_corpus import _NEGATIVE, _POSITIVE
     from .text import _set_column, _token_lists
-    flat, offsets = _token_lists(batch.column(text_col))
+    text = batch.column(text_col)
+    flat, offsets = _token_lists(text)
     n_docs = len(offsets) - 1
-    scores = np.zeros(n_docs)
+    compound = np.zeros(n_docs)
     if len(flat):
-        doc_len = np.diff(offsets).astype(np.float64)
-        has = doc_len > 0
+        doc_len = np.diff(offsets)
         starts = np.clip(offsets[:-1], 0, len(flat) - 1)
-        pos = pc.is_in(flat, value_set=pa.array(sorted(_POSITIVE))).cast(
-            pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
-        neg = pc.is_in(flat, value_set=pa.array(sorted(_NEGATIVE))).cast(
-            pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
-        p = np.where(has, np.add.reduceat(pos, starts), 0.0)
-        ng = np.where(has, np.add.reduceat(neg, starts), 0.0)
-        scores = np.clip((p - ng) / np.maximum(doc_len, 1.0) * 5, -1.0, 1.0)
-    return _set_column(batch, "sentiment", pa.array(scores, pa.float64()))
+        doc_of = np.repeat(np.arange(n_docs), doc_len)
+        n_tok = len(flat)
+
+        # strip clinging punctuation so "good!"/"bad," match the lists
+        bare = pc.replace_substring_regex(flat, r"^\W+|\W+$", "")
+
+        def _flags(words) -> np.ndarray:
+            return pc.is_in(bare, value_set=pa.array(sorted(words))).cast(
+                pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
+
+        val = _flags(_POSITIVE) - _flags(_NEGATIVE)
+        neg_flag = _flags(_NEGATIONS)
+        # a token acting as negation carries no valence of its own
+        # ("never" sits in the negative word list too)
+        val = np.where(neg_flag > 0, 0.0, val)
+        intens = _flags(_INTENSIFIERS)
+        # negated[i]: a negation occurred in the previous _NEGATION_WINDOW
+        # tokens of the SAME document → rolling window via cumsum diff
+        cs = np.concatenate([[0.0], np.cumsum(neg_flag)])
+        lo = np.maximum(np.arange(n_tok) - _NEGATION_WINDOW, 0)
+        # clamp the window start to the token's own document start
+        lo = np.maximum(lo, np.repeat(offsets[:-1], doc_len)[:n_tok])
+        window_neg = cs[np.arange(n_tok)] - cs[lo]
+        negated = window_neg > 0
+        # intensifier immediately before a valence token (same doc)
+        boost = np.zeros(n_tok)
+        if n_tok > 1:
+            prev_int = np.r_[0.0, intens[:-1]]
+            same_doc = np.r_[False, doc_of[1:] == doc_of[:-1]]
+            boost[1:] = (prev_int[1:] * same_doc[1:])
+        signed = np.where(negated, -0.74 * val, val)  # VADER N_SCALAR=-0.74
+        signed = signed * (1.0 + _INTENSIFIER_BOOST * boost)
+        sums = np.add.reduceat(signed, starts)
+        sums = np.where(doc_len > 0, sums, 0.0)
+        # exclamation emphasis (up to 4 count, VADER's cap), sign-aligned
+        excl_cnt = pc.fill_null(pc.count_substring(text, "!"), 0).cast(
+            pa.float64()).to_numpy(zero_copy_only=False)
+        n_excl = np.minimum(excl_cnt, 4.0)
+        sums = sums + np.sign(sums) * 0.292 * n_excl  # B_EXCL=0.292
+        compound = sums / np.sqrt(sums * sums + 15.0)  # VADER α=15
+    return _set_column(batch, "sentiment", pa.array(compound, pa.float64()))
 
 
 def ner_batch(batch: pa.Table, text_col: str = "text",

@@ -135,3 +135,27 @@ def test_lda_recovers_planted_topics():
     fa0 = sum(1 for w in topic_words[0] if w.startswith("alpha"))
     fa1 = sum(1 for w in topic_words[1] if w.startswith("alpha"))
     assert (fa0 > 4) != (fa1 > 4), topic_words
+
+
+def test_sentiment_vader_heuristics():
+    import numpy as np
+
+    from data_profiler_ray.functions.text_nlp import sentiment_batch
+    tbl = pa.table({"text": pa.array([
+        "good",                      # plain positive
+        "not good",                  # negated → negative
+        "very good",                 # intensified > plain
+        "good!",                     # exclamation emphasis > plain
+        "bad",                       # plain negative
+        "never bad",                 # negated negative → positive
+        "",                          # empty → 0
+        None,                        # null → 0
+    ])})
+    s = sentiment_batch(tbl)["sentiment"].to_pylist()
+    assert s[0] > 0 and s[4] < 0
+    assert s[1] < 0 < s[0]                   # negation flips
+    assert s[2] > s[0]                       # intensifier boosts
+    assert s[3] > s[0]                       # exclamation boosts
+    assert s[5] > 0                          # double-negative positive
+    assert s[6] == 0.0 and s[7] == 0.0
+    assert all(-1.0 <= v <= 1.0 for v in s if v is not None)
