@@ -149,8 +149,14 @@ class _CorpusPartial:
 
 
 def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
-                        top_k_terms: int = 25) -> dict:
-    """Corpus rollup → reference-shaped dict (text/profiler.py:662-696)."""
+                        top_k_terms: int = 25,
+                        n_topics: int | None = None,
+                        lda_passes: int = 3) -> dict:
+    """Corpus rollup → reference-shaped dict (text/profiler.py:662-696).
+
+    ``n_topics``: fit the REAL distributed variational-Bayes LDA
+    (functions/lda.py) over the corpus and add a ``topics`` entry
+    (reference emits LDA topic top-10 tokens, text/profiler.py:424-440)."""
     import datetime
     t0 = datetime.datetime.now()
     partials = ds.select_columns([text_col]).map_batches(
@@ -159,6 +165,17 @@ def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
     for b in partials.iter_batches(batch_format="pyarrow"):
         for blob in b.column("state").to_pylist():
             st.merge(pickle.loads(blob))
+    topics = None
+    if n_topics:
+        from ..functions.lda import bucket_examples, lda_fit, lda_top_buckets
+        model = lda_fit(ds, text_col=text_col, n_topics=n_topics,
+                        n_passes=lda_passes)
+        ex = bucket_examples(ds, text_col=text_col,
+                             vocab_size=model["vocab_size"])
+        topics = [{"topic": k,
+                   "top_words": [ex.get(int(b), f"bucket_{int(b)}")
+                                 for b in row]}
+                  for k, row in enumerate(lda_top_buckets(model, 10))]
     t1 = datetime.datetime.now()
     total_lang = sum(st.languages.values()) or 1
     nc = st.n_chars or 1
@@ -188,5 +205,6 @@ def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
                             "(0,0.5)": int(st.sent_buckets[2]),
                             "(0.5,1)": int(st.sent_buckets[3])},
             },
+            **({"topics": topics} if topics is not None else {}),
         },
     }

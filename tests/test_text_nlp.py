@@ -159,3 +159,16 @@ def test_sentiment_vader_heuristics():
     assert s[5] > 0                          # double-negative positive
     assert s[6] == 0.0 and s[7] == 0.0
     assert all(-1.0 <= v <= 1.0 for v in s if v is not None)
+
+
+def test_corpus_profile_with_topics(sf_dir):
+    import ray.data
+
+    from data_profiler_ray.pipelines.text_corpus import profile_text_corpus
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    prof = profile_text_corpus(ds, n_topics=3, lda_passes=2)
+    topics = prof["corpus"]["topics"]
+    assert len(topics) == 3
+    for t in topics:
+        assert len(t["top_words"]) == 10
+        assert all(isinstance(w, str) and w for w in t["top_words"])
