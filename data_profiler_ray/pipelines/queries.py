@@ -471,14 +471,20 @@ def split_documents(sf_dir: str) -> pa.Table:
 
 
 def _split_sql() -> str:
+    # HUGEINT (128-bit) product + positive-mod replicates numpy's uint64
+    # wrap semantics for EVERY int64 doc_id: (v+seed)*K never overflows
+    # 128 bits, and mod 2^32 of the exact product equals mod 2^32 of the
+    # mod-2^64-wrapped product (2^32 | 2^64). Plain BIGINT arithmetic
+    # would error above doc_id ≈ 3.5e9 and diverge for negative keys.
     from ..functions.sampling import KNUTH, split_edges
     e = split_edges(_SPLIT_RATIOS)
     names = list(_SPLIT_RATIOS)
     case = " ".join(f"WHEN h < {edge} THEN '{name}'"
                     for edge, name in zip(e[:-1], names[:-1]))
     return (f"SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split "
-            f"FROM (SELECT doc_id, ((doc_id + {_SPLIT_SEED}) * {int(KNUTH)})"
-            f" % 4294967296 AS h FROM documents) ORDER BY doc_id")
+            f"FROM (SELECT doc_id, ((((CAST(doc_id AS HUGEINT) + "
+            f"{_SPLIT_SEED}) * {int(KNUTH)}) % 4294967296 + 4294967296) "
+            f"% 4294967296) AS h FROM documents) ORDER BY doc_id")
 
 
 def asof_price_events(sf_dir: str) -> pa.Table:

@@ -324,8 +324,11 @@ _VERDICT_ROLLUP_MAX_ROWS = 10_000
 
 _VIOLATION_KINDS = ("duplicate_key", "turn_gap", "ts_regression",
                     "bad_role", "dangling_tool")
+# "other" tallies violation rows of kinds OUTSIDE _VIOLATION_KINDS: a future
+# kind added upstream can't silently bypass n_violations / passed=false
 _TALLY_COUNT_COLS = (("n_conversations", "n_failed", "n_turns")
-                     + tuple(f"n_v_{k}" for k in _VIOLATION_KINDS))
+                     + tuple(f"n_v_{k}" for k in _VIOLATION_KINDS)
+                     + ("n_v_other",))
 _TALLY_SCHEMA = pa.schema([("part", pa.string())]
                           + [(c, pa.int64()) for c in _TALLY_COUNT_COLS])
 
@@ -398,6 +401,7 @@ class _PartOutputWriter:
                     other = np.flatnonzero(~np.isin(kinds,
                                                     _VIOLATION_KINDS))
                     if other.size:  # unknown kinds: keep capped, count too
+                        row["n_v_other"] = int(other.size)
                         keep_idx.append(other[: self.max_per_kind])
                     capped = sv.take(pa.array(np.sort(
                         np.concatenate(keep_idx))))

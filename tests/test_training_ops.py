@@ -138,8 +138,13 @@ def test_embedding_lsh_recall_planted():
     assert len(got & expect) / len(expect) >= 0.9
 
 
-def test_verify_jaccard_worker_path_matches_driver_sets():
-    """Distributed Jaccard scoring equals a direct python-set computation."""
+@pytest.mark.parametrize("driver_doc_limit", [20_000, 0])
+def test_verify_jaccard_worker_path_matches_driver_sets(driver_doc_limit):
+    """Distributed Jaccard scoring equals a direct python-set computation.
+
+    driver_doc_limit=0 forces the distributed pair-slot shuffle path
+    (_ShingleSlotEmitter → sort → _score_pairs_block → leftover merge);
+    the default exercises the small-candidate driver path."""
     from data_profiler_ray.functions.dedup import verify_jaccard
     rng = np.random.default_rng(3)
     vocab = "aa bb cc dd ee ff gg hh ii jj".split()
@@ -149,8 +154,9 @@ def test_verify_jaccard_worker_path_matches_driver_sets():
                     "text": pa.array(texts)})
     pairs = pa.table({"id_a": pa.array([0, 1, 2, 5], pa.int64()),
                       "id_b": pa.array([3, 4, 7, 39], pa.int64())})
-    out = verify_jaccard(ray.data.from_arrow(tbl), pairs,
-                         threshold=0.0).to_pandas()
+    out = verify_jaccard(ray.data.from_arrow(tbl), pairs, threshold=0.0,
+                         driver_doc_limit=driver_doc_limit).to_pandas()
+    assert len(out) == 4
 
     def sets(t, k=3):
         toks = t.lower().split()
@@ -162,6 +168,19 @@ def test_verify_jaccard_worker_path_matches_driver_sets():
         sa, sb = sets(texts[int(r.id_a)]), sets(texts[int(r.id_b)])
         want = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
         assert abs(r.jaccard - want) < 1e-9, (r.id_a, r.id_b)
+
+
+def test_embedding_all_pairs_exact_row_guard():
+    """The O(n²) oracle baseline refuses large inputs instead of collecting
+    them onto the driver (points at the LSH path)."""
+    from data_profiler_ray.functions.dedup import embedding_all_pairs_exact
+    rng = np.random.default_rng(0)
+    tbl = pa.table({
+        "vec_id": pa.array(range(50), pa.int64()),
+        "embedding": pa.array([rng.standard_normal(64).tolist()
+                               for _ in range(50)], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="embedding_dup_pairs"):
+        embedding_all_pairs_exact(ray.data.from_arrow(tbl), max_rows=10)
 
 
 def test_knn_brute_force_vs_numpy(sf_dir):
