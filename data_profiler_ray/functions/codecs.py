@@ -82,6 +82,115 @@ def image_features(img: np.ndarray, dim: int = 16) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (pure stdlib-zlib implementation of the public spec: chunk framing,
+# IHDR/IDAT/IEND, scanline filters 0-4). 8-bit gray / RGB / RGBA,
+# non-interlaced. Filters None/Sub/Up unfilter vectorized (Sub via
+# per-byte-lane cumsum mod 256); Average/Paeth fall back to a per-pixel
+# loop (our encoder never emits them, but foreign PNGs may).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA uint8 → PNG bytes
+    (filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = a.reshape(h, w * c)  # leading 0 = filter type None
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _unfilter_sub(row: np.ndarray, bpp: int) -> np.ndarray:
+    # recon[x] = filt[x] + recon[x-bpp]: per byte-lane cumulative sum mod 256
+    lanes = row[: (row.size // bpp) * bpp].reshape(-1, bpp)
+    return np.cumsum(lanes.astype(np.int64), axis=0).astype(
+        np.uint8).reshape(-1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8 (gray returns (h, w, 1)).
+
+    Supports bit depth 8, color types 0/2/6, interlace 0 — the layouts
+    ``encode_png`` produces plus Up/Average/Paeth-filtered foreign files."""
+    import zlib
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = None
+    color_type = bit_depth = interlace = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8: pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:
+            rec = _unfilter_sub(row, c)
+        elif f == 2:
+            rec = (row.astype(np.int64) + prev).astype(np.uint8)
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                up = int(prev[x])
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - c]) if x >= c else 0
+                    p = left + up - ul
+                    pa_, pb, pcd = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa_ <= pb and pa_ <= pcd else (
+                        up if pb <= pcd else ul)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF, PCM 16-bit mono/stereo)
 
 

@@ -227,10 +227,10 @@ def minhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
         batch_format="pyarrow", concurrency=concurrency or (1, 8)
     ).materialize()
     # size the sort to the data: tiny corpora would otherwise pay a fixed
-    # multi-second exchange over ~24 near-empty partitions (the materialize
-    # is free — the sort holds the banded set anyway)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(2, min(min(max(2 * cpus, 8), 24),
+    # multi-second exchange over near-empty partitions; large inputs derive
+    # width from bytes/128MB via shuffle_width (r2 item 3 — no fixed cap)
+    from ..stages.segments import shuffle_width
+    nblocks = max(2, min(shuffle_width(banded),
                          max(2, banded.count() // 100_000)))
     srt = banded.repartition(nblocks).sort(["band", "bucket"])
 
@@ -748,8 +748,8 @@ def simhash_candidates(ds: "ray.data.Dataset", id_col: str = "doc_id",
         SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow", concurrency=concurrency or (1, 8)
     ).materialize()
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(2, min(min(max(2 * cpus, 8), 24),
+    from ..stages.segments import shuffle_width
+    nblocks = max(2, min(shuffle_width(banded),
                          max(2, banded.count() // 100_000)))
     srt = banded.repartition(nblocks).sort(["band", "bucket"])
 
@@ -934,8 +934,8 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
                                    n_bits=n_bits, dim=dim,
                                    n_tables=n_tables),
         batch_format="pyarrow", concurrency=concurrency or (1, 8))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    srt = bucketed.repartition(min(max(2 * cpus, 8), 24)).sort("bucket")
+    from ..stages.segments import shuffle_width
+    srt = bucketed.repartition(shuffle_width(bucketed)).sort("bucket")
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         b = batch.combine_chunks()
@@ -1106,8 +1106,8 @@ def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
     group is simply the FIRST row of its segment — one vectorized take per
     block, zero per-group Python; groups cut at block edges are resolved
     from the o(#blocks) boundary rows on the driver."""
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    srt = ds.repartition(min(max(2 * cpus, 8), 24)).sort(
+    from ..stages.segments import shuffle_width
+    srt = ds.repartition(shuffle_width(ds)).sort(
         list(key_cols) + [id_col])
 
     def block_first(batch: pa.Table) -> pa.Table:

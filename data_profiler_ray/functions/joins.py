@@ -1,14 +1,19 @@
 """Custom join/window operators Ray Data lacks natively.
 
-- ``asof_join``: for each left row, attach the most recent right row with
-  ``right.ts <= left.ts`` within the same key (a time-travel lookup). The
-  right side is BROADCAST (sorted per key once, in every task via
-  constructor arg) — correct choice when the right side is a dimension /
-  rate table ≪ left. For a large right side the same kernel applies after
-  a co-partitioning ``groupby(key)`` on the union of both sides
-  (partitioning assumption: both sides hash-partitioned on ``by``).
-- ``rolling_window``: per-key ordered rolling aggregate (mean/sum over the
-  trailing N rows), vectorized with cumsum inside ``map_groups``.
+- ``asof_join``: broadcast variant — for each left row, attach the most
+  recent right row with ``right.on <= left.on`` within the same key. The
+  right side rides to every task once via ``ray.put`` — the correct choice
+  when the right side is a dimension / rate table ≪ left.
+- ``asof_join_partitioned``: co-partitioned variant for a LARGE right side
+  (VERDICT r2 item 4) — both sides are unioned into one stream tagged with
+  a side bit and pushed through ONE sort exchange on ``(by, on, side)``;
+  a vectorized last-right-row forward-fill kernel runs per key segment
+  (``stages/segments.py`` sorted-segment machinery: interior segments
+  vectorized, block-boundary segments stitched exactly). No broadcast, no
+  driver materialization of either side.
+- ``rolling_window``: per-key ordered trailing-window aggregate, also on
+  the sorted-segment path — direct per-window sums (``np.convolve`` +
+  vectorized head fix) instead of per-group Python (r2 item 1).
 
 Both document the reference-gap: the reference performs no relational joins
 at all (SURVEY.md §2.4).
@@ -22,6 +27,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from ..stages.segments import sorted_segment_map
 
 
 class _AsOfLookup:
@@ -86,25 +93,133 @@ def asof_join(left: "ray.data.Dataset", right: pa.Table, by: str, on: str,
         batch_format="pyarrow", concurrency=concurrency or (1, 4))
 
 
+def _pa_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    # pandas-block datasets report object-dtype columns as Python `object`
+    return pa.schema([(n, t if isinstance(t, pa.DataType) else pa.string())
+                      for n, t in zip(s.names, s.types)])
+
+
+class _SideTagger:
+    """Project a side's batches onto the unified (by, on, payload, values,
+    __side) schema, null-filling the columns the side doesn't have."""
+
+    def __init__(self, schema: pa.Schema, side: int):
+        self.schema = schema
+        self.side = side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for f in self.schema:
+            if f.name == "__side":
+                cols.append(pa.array(np.full(n, self.side, np.int8)))
+            elif f.name in batch.column_names:
+                cols.append(batch.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(cols, schema=self.schema)
+
+
+def asof_join_partitioned(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                          by: str, on: str, value_cols: list[str],
+                          width: int | None = None) -> "ray.data.Dataset":
+    """Co-partitioned as-of join for a large right side.
+
+    Both sides must carry columns named ``by`` and ``on`` (caller renames);
+    ``right`` must additionally be UNIQUE on ``(by, on)`` — with duplicate
+    right timestamps the as-of pick is ill-defined on any engine (DuckDB
+    ASOF has the same precondition); dedup with a groupby first.
+
+    One sort exchange on ``(by, on, side)`` (right rows sort before left
+    rows at equal timestamps, so equality matches inclusively like DuckDB
+    ASOF), then a per-segment vectorized forward-fill of the latest right
+    row index. Output: one row per left row with ``{v}_asof`` columns.
+    """
+    lschema = _pa_schema(left)
+    rschema = _pa_schema(right)
+    payload = [f for f in lschema if f.name not in (by, on)]
+    vfields = [rschema.field(v) for v in value_cols]
+    unified = pa.schema(
+        [lschema.field(by), lschema.field(on)] + payload + vfields
+        + [pa.field("__side", pa.int8())])
+
+    tagged = left.map_batches(
+        _SideTagger(unified, 1), batch_format="pyarrow").union(
+        right.map_batches(_SideTagger(unified, 0), batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [lschema.field(by), lschema.field(on)] + payload
+        + [pa.field(f"{v}_asof", rschema.field(v).type) for v in value_cols])
+
+    def block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+              ) -> pa.Table:
+        s0, s1 = int(starts[0]), int(ends[-1])
+        sub = batch.slice(s0, s1 - s0).combine_chunks()
+        ls = starts - s0
+        lens = ends - starts
+        m = s1 - s0
+        side = sub.column("__side").to_numpy(zero_copy_only=False)
+        is_right = side == 0
+        rowpos = np.arange(m, dtype=np.int64)
+        seg_id = np.repeat(np.arange(ls.size, dtype=np.int64), lens)
+        # per-segment forward-max of right-row indices: the +M*seg_id offset
+        # makes np.maximum.accumulate reset at segment boundaries (a later
+        # segment's floor M*seg_id-1 exceeds any earlier segment's ceiling)
+        b = np.where(is_right, rowpos, -1)
+        M = np.int64(m + 2)
+        last_right = np.maximum.accumulate(b + M * seg_id) - M * seg_id
+        left_rows = np.flatnonzero(~is_right)
+        src = last_right[left_rows]
+        invalid = src < 0
+        src_idx = pa.array(np.where(invalid, 0, src), mask=invalid)
+        take_left = pa.array(left_rows)
+        cols = [sub.column(by).take(take_left),
+                sub.column(on).take(take_left)]
+        cols += [sub.column(f.name).take(take_left) for f in payload]
+        cols += [sub.column(v).take(src_idx) for v in value_cols]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return sorted_segment_map(tagged, by, [on, "__side"], block, out_schema,
+                              width=width)
+
+
 def rolling_window(ds: "ray.data.Dataset", by: str, order_cols: list[str],
                    value_col: str, window: int,
                    agg: str = "mean") -> "ray.data.Dataset":
     """Per-key trailing-window aggregate (ROWS BETWEEN window-1 PRECEDING AND
-    CURRENT ROW), cumsum-vectorized inside each group."""
+    CURRENT ROW) on the sorted-segment path.
 
-    def roll(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[(c, "ascending") for c in order_cols])
-        g = group.take(order)
-        x = g.column(value_col).to_numpy(zero_copy_only=False).astype(
+    Full-width windows come from one ``np.convolve`` over the block (each
+    output an independent direct sum — no long-cumsum cancellation error);
+    the first ``window-1`` rows of each segment are fixed by a
+    ``window-1``-step loop vectorized ACROSS segments.
+    """
+    in_schema = _pa_schema(ds)
+    out_col = f"{value_col}_rolling_{agg}"
+    out_schema = in_schema.append(pa.field(out_col, pa.float64()))
+
+    def block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+              ) -> pa.Table:
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
             np.float64)
-        n = x.size
-        cs = np.concatenate([[0.0], np.cumsum(x)])
-        lo = np.maximum(np.arange(n) - window + 1, 0)
-        sums = cs[np.arange(n) + 1] - cs[lo]
-        counts = np.arange(n) + 1 - lo
-        val = sums / counts if agg == "mean" else sums
-        return g.append_column(f"{value_col}_rolling_{agg}",
-                               pa.array(val, pa.float64()))
+        lo, hi = int(starts[0]), int(ends[-1])
+        lens = ends - starts
+        # full-mode convolve index m holds the trailing sum x[m-w+1..m]
+        sums = np.convolve(x, np.ones(window))[:x.size]
+        run = np.zeros(starts.size)
+        for k in range(window - 1):
+            alive = lens > k
+            rows = starts[alive] + k
+            run[alive] += x[rows]
+            sums[rows] = run[alive]
+        pos = np.arange(lo, hi) - np.repeat(starts, lens)
+        counts = np.minimum(pos + 1, window)
+        val = sums[lo:hi] / counts if agg == "mean" else sums[lo:hi]
+        return batch.slice(lo, hi - lo).append_column(
+            out_col, pa.array(val, pa.float64()))
 
-    return ds.groupby(by).map_groups(roll, batch_format="pyarrow")
+    return sorted_segment_map(ds, by, order_cols, block, out_schema)

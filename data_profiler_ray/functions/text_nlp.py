@@ -137,40 +137,171 @@ def sentiment_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return _set_column(batch, "sentiment", pa.array(compound, pa.float64()))
 
 
-def ner_batch(batch: pa.Table, text_col: str = "text",
-              max_entities: int = 50) -> pa.Table:
-    """M10 entity extraction → ``entities`` list<struct<text,label>>."""
-    texts = batch.column(text_col).to_pylist()
-    all_ents = []
-    for doc in texts:
-        if doc is None:
-            all_ents.append([])
-            continue
-        ents = []
-        for m in _URL_RE.finditer(doc):
-            ents.append({"text": m.group(), "label": "URL"})
-        for m in _EMAIL_RE.finditer(doc):
-            ents.append({"text": m.group(), "label": "EMAIL"})
-        for m in _NUM_RE.finditer(doc):
-            ents.append({"text": m.group(), "label": "CARDINAL"})
+# --------------------------------------------------------------------------
+# Gazetteer + shape-rule NER (r2 VERDICT item 7). The reference extracts
+# spaCy ``doc.ents`` with their label map (text/profiler.py:449-465); this
+# is the dependency-free analogue: broadcast gazetteers + title-case-run
+# shape rules in an actor-pool stage, emitting the spaCy-style label space
+# PERSON / ORG / GPE / DATE / TIME / MONEY / PERCENT / CARDINAL / EMAIL /
+# URL / MISC.
+
+_GPE_GAZETTEER = frozenset("""
+france germany spain italy portugal england scotland ireland netherlands
+belgium sweden norway denmark finland poland austria switzerland greece
+turkey russia ukraine china japan korea india pakistan indonesia vietnam
+thailand australia canada mexico brazil argentina chile peru colombia
+egypt nigeria kenya morocco ethiopia america
+london paris berlin madrid rome lisbon amsterdam brussels stockholm oslo
+copenhagen helsinki warsaw vienna zurich geneva athens istanbul moscow
+kyiv beijing shanghai tokyo osaka seoul delhi mumbai jakarta hanoi
+bangkok sydney melbourne toronto vancouver montreal chicago boston
+seattle dallas houston atlanta miami denver phoenix philadelphia
+washington cairo lagos nairobi casablanca
+""".split())
+
+_PERSON_GIVEN = frozenset("""
+james john robert michael william david richard joseph thomas charles
+mary patricia jennifer linda elizabeth barbara susan jessica sarah karen
+alice bob carol daniel emma frank grace henry isabel jack kate liam
+maria nathan olivia peter quinn rachel samuel tina victor wendy george
+paul mark anna laura sofia lucas hugo felix nina ivan boris dmitri chen
+wei yuki hana priya arjun fatima omar ahmed leila
+""".split())
+
+_ORG_SUFFIX = frozenset("""
+inc corp corporation ltd llc gmbh co company group labs laboratories
+university institute college bank systems technologies software
+foundation association society agency committee council ministry
+department bureau press times journal
+""".split())
+
+_HONORIFICS = frozenset(
+    ["mr", "mrs", "ms", "dr", "prof", "professor", "sir", "president",
+     "senator", "judge", "captain", "general"])
+
+_MONTHS = frozenset(
+    ["january", "february", "march", "april", "may", "june", "july",
+     "august", "september", "october", "november", "december"])
+_WEEKDAYS = frozenset(
+    ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday",
+     "sunday"])
+
+_DATE_RE = re.compile(
+    r"\b(?:\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
+    r"|(?:January|February|March|April|May|June|July|August|September"
+    r"|October|November|December)\s+\d{1,2}(?:,\s*\d{4})?)\b")
+_TIME_RE = re.compile(r"\b\d{1,2}:\d{2}(?::\d{2})?(?:\s?(?:am|pm|AM|PM))?\b")
+_MONEY_RE = re.compile(
+    r"[$€£]\s?\d[\d,]*(?:\.\d+)?(?:\s?(?:million|billion|k|m|bn))?"
+    r"|\b\d[\d,]*(?:\.\d+)?\s(?:dollars|euros|pounds)\b")
+_PERCENT_RE = re.compile(r"\b\d+(?:\.\d+)?\s?%")
+
+
+class NerTagger:
+    """Actor-pool ``map_batches`` callable: gazetteer + shape-rule NER.
+
+    Gazetteers and regexes are built/compiled ONCE per actor in
+    ``__init__`` (ST1 pattern — the reference re-creates its spaCy
+    pipeline per file, text/profiler.py:283-293). Extraction order gives
+    typed patterns (URL/EMAIL/DATE/TIME/MONEY/PERCENT) precedence over
+    capitalized-run entities; consumed spans are masked so a date inside
+    a run is not double-counted.
+
+    Capitalized-run labeling: ORG if the run ends in / contains a company
+    suffix; PERSON if preceded by an honorific or starting with a known
+    given name; GPE if any token is a known country/city; MISC otherwise
+    (spaCy's residual classes). Sentence-initial single capitalized words
+    are treated as sentence case and skipped.
+    """
+
+    def __init__(self, text_col: str = "text", max_entities: int = 50,
+                 extra_gazetteers: dict | None = None):
+        self.text_col = text_col
+        self.max_entities = max_entities
+        self.gpe = set(_GPE_GAZETTEER)
+        self.person = set(_PERSON_GIVEN)
+        self.org_suffix = set(_ORG_SUFFIX)
+        if extra_gazetteers:
+            self.gpe |= {w.lower() for w in extra_gazetteers.get("GPE", [])}
+            self.person |= {w.lower()
+                            for w in extra_gazetteers.get("PERSON", [])}
+            self.org_suffix |= {w.lower()
+                                for w in extra_gazetteers.get("ORG", [])}
+
+    def _label_run(self, run: str, prev_word: str) -> str:
+        toks = [t.lower() for t in run.split()]
+        if toks[-1].rstrip(".") in self.org_suffix or any(
+                t in self.org_suffix for t in toks):
+            return "ORG"
+        if prev_word in _HONORIFICS or toks[0] in self.person:
+            return "PERSON"
+        if any(t in self.gpe for t in toks):
+            return "GPE"
+        if all(t in _MONTHS or t in _WEEKDAYS for t in toks):
+            return "DATE"
+        return "MISC"
+
+    def _doc_entities(self, doc: str) -> list[dict]:
+        ents: list[tuple[int, int, str, str]] = []
+        taken: list[tuple[int, int]] = []
+
+        def free(a: int, b: int) -> bool:
+            return all(b <= s or a >= e for s, e in taken)
+
+        for rx, label in ((_URL_RE, "URL"), (_EMAIL_RE, "EMAIL"),
+                          (_DATE_RE, "DATE"), (_TIME_RE, "TIME"),
+                          (_MONEY_RE, "MONEY"), (_PERCENT_RE, "PERCENT")):
+            for m in rx.finditer(doc):
+                if free(m.start(), m.end()):
+                    ents.append((m.start(), m.end(), m.group(), label))
+                    taken.append((m.start(), m.end()))
         for m in _ENTITY_RE.finditer(doc):
-            g = m.group()
-            sent_initial = (m.start() == 0
-                            or doc[max(m.start() - 2, 0):m.start()]
-                            in (". ", "! ", "? "))
-            if sent_initial:
-                # drop the sentence-initial capitalized word: "Contact
-                # Alice Johnson" → "Alice Johnson"; single-word runs are
-                # probably just sentence case, skip them
+            if not free(m.start(), m.end()):
+                continue
+            g, start = m.group(), m.start()
+            before = doc[:start].rstrip()
+            sent_initial = (not before) or before[-1] in ".!?"
+            prev_word = re.split(r"\W+", before.lower())[-1] if before else ""
+            first = g.split(None, 1)[0].lower()
+            # sentence-initial capitalization is usually just sentence case:
+            # strip the first word UNLESS the run carries a positive signal
+            # that includes it (org suffix anywhere, known given name or
+            # place as the first token, honorific before the run)
+            keep_first = (prev_word in _HONORIFICS
+                          or first in self.person or first in self.gpe
+                          or self._label_run(g, prev_word) == "ORG")
+            if sent_initial and not keep_first:
                 parts = g.split(None, 1)
                 if len(parts) < 2:
                     continue
+                start += len(g) - len(parts[1])
                 g = parts[1]
-            ents.append({"text": g, "label": "ENTITY"})
-        all_ents.append(ents[:max_entities])
-    from .text import _set_column
-    typ = pa.list_(pa.struct([("text", pa.string()), ("label", pa.string())]))
-    return _set_column(batch, "entities", pa.array(all_ents, typ))
+            label = self._label_run(g, prev_word)
+            ents.append((start, start + len(g), g, label))
+            taken.append((start, start + len(g)))
+        for m in _NUM_RE.finditer(doc):
+            if free(m.start(), m.end()):
+                ents.append((m.start(), m.end(), m.group(), "CARDINAL"))
+                taken.append((m.start(), m.end()))
+        ents.sort()
+        return [{"text": t, "label": lb}
+                for _, _, t, lb in ents[: self.max_entities]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .text import _set_column
+        all_ents = [[] if doc is None else self._doc_entities(doc)
+                    for doc in batch.column(self.text_col).to_pylist()]
+        typ = pa.list_(pa.struct([("text", pa.string()),
+                                  ("label", pa.string())]))
+        return _set_column(batch, "entities", pa.array(all_ents, typ))
+
+
+def ner_batch(batch: pa.Table, text_col: str = "text",
+              max_entities: int = 50) -> pa.Table:
+    """M10 entity extraction → ``entities`` list<struct<text,label>>
+    (functional wrapper around :class:`NerTagger` for one-off batches;
+    pipelines should pass the class to ``map_batches`` directly)."""
+    return NerTagger(text_col=text_col, max_entities=max_entities)(batch)
 
 
 def topic_tokens_batch(batch: pa.Table, text_col: str = "text",

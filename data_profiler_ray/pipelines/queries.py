@@ -306,44 +306,74 @@ def uniqueness_orders(sf_dir: str) -> pa.Table:
                      "n_distinct_keys": pa.array([v["n_distinct"]], pa.int64())})
 
 
+_MONO_SCHEMA = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                          ("n_regressions", pa.int64())])
+
+
+def _mono_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+                ) -> pa.Table:
+    """Vectorized per-segment ts-regression count (batch sorted by
+    (user_id, event_id); segments contiguous — stages/segments contract)."""
+    from ..stages.segments import segment_reduce
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    flag = np.zeros(ts.size, dtype=np.int64)
+    flag[1:] = ts[1:] < ts[:-1]
+    flag[starts] = 0
+    return pa.table({
+        "user_id": batch.column("user_id").take(pa.array(starts))
+        .cast(pa.int64()),
+        "n_events": pa.array(ends - starts, pa.int64()),
+        "n_regressions": pa.array(
+            segment_reduce(flag, starts, int(ends[-1])), pa.int64()),
+    }, schema=_MONO_SCHEMA)
+
+
 def ts_monotonicity_events(sf_dir: str) -> pa.Table:
     """Per-user ts-regression count along event_id order (the transcript
-    monotone-ts check applied to the events table)."""
+    monotone-ts check applied to the events table) — sorted-segment path
+    (r2 item 1: was groupby(user).map_groups, one Python call per user)."""
+    from ..stages.segments import sorted_segment_map
     ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
+    return _tbl(sorted_segment_map(ds, "user_id", ["event_id"], _mono_block,
+                                   _MONO_SCHEMA)).sort_by("user_id")
 
-    def check(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("event_id", "ascending")])
-        ts = group.column("ts").take(order).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        n_reg = int((np.diff(ts) < 0).sum()) if ts.size > 1 else 0
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1).cast(pa.int64()),
-            "n_events": pa.array([group.num_rows], pa.int64()),
-            "n_regressions": pa.array([n_reg], pa.int64())})
-    return _tbl(ds.groupby("user_id").map_groups(check,
-                                                 batch_format="pyarrow"))
+
+_GAPS_SCHEMA = pa.schema([("user_id", pa.int64()), ("n_gaps", pa.int64()),
+                          ("sum_gap_us", pa.int64()),
+                          ("max_gap_us", pa.int64())])
+
+
+def _gaps_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+                ) -> pa.Table:
+    """Per-segment inter-arrival gaps (batch sorted by (user_id, ts,
+    event_id)): sum telescopes to last-first (exact int µs), max via
+    maximum.reduceat over per-row gap-to-previous (0 at segment starts,
+    matching the 0 fallback for single-row users)."""
+    from ..stages.segments import segment_reduce
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    gap = np.zeros(ts.size, dtype=np.int64)
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[starts] = 0
+    return pa.table({
+        "user_id": batch.column("user_id").take(pa.array(starts))
+        .cast(pa.int64()),
+        "n_gaps": pa.array(ends - starts - 1, pa.int64()),
+        "sum_gap_us": pa.array(ts[ends - 1] - ts[starts], pa.int64()),
+        "max_gap_us": pa.array(
+            segment_reduce(gap, starts, int(ends[-1]), np.maximum),
+            pa.int64()),
+    }, schema=_GAPS_SCHEMA)
 
 
 def user_event_gaps(sf_dir: str) -> pa.Table:
     """Per-user inter-arrival gap stats (the A14 gap-stat family applied to
-    the events stream). Integer-µs arithmetic end-to-end so the oracle hash
-    is exact."""
+    the events stream) — sorted-segment path, integer-µs arithmetic
+    end-to-end so the oracle hash is exact."""
+    from ..stages.segments import sorted_segment_map
     ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
-
-    def gaps(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                  ("event_id", "ascending")])
-        ts = group.column("ts").take(order).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        d = np.diff(ts)
-        return pa.table({
-            "user_id": group.column("user_id").slice(0, 1).cast(pa.int64()),
-            "n_gaps": pa.array([int(d.size)], pa.int64()),
-            "sum_gap_us": pa.array([int(d.sum()) if d.size else 0], pa.int64()),
-            "max_gap_us": pa.array([int(d.max()) if d.size else 0], pa.int64()),
-        })
-    return _tbl(ds.groupby("user_id").map_groups(
-        gaps, batch_format="pyarrow")).sort_by("user_id")
+    return _tbl(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
+                                   _gaps_block, _GAPS_SCHEMA)
+                ).sort_by("user_id")
 
 
 def distinct_counts_lineitem(sf_dir: str) -> pa.Table:
@@ -404,41 +434,62 @@ def revenue_by_segment(sf_dir: str) -> pa.Table:
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
 
 
+_SESS_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("session_id", pa.int64()),
+    ("n_events", pa.int64()), ("session_start_us", pa.int64()),
+    ("session_end_us", pa.int64()), ("sum_value", pa.float64())])
+
+
+def _session_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+                   ) -> pa.Table:
+    """Vectorized multi-user sessionization (batch sorted by (user_id, ts,
+    event_id)): session boundaries = user change-points OR >30-min gaps;
+    all per-session reductions via reduceat — no per-user dispatch.
+    Session sums are computed from raw values within one kernel call (a cut
+    user is re-stitched whole by stages/segments), so no partial-sum merge
+    ever happens."""
+    from ..stages.segments import segment_reduce
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    new = np.zeros(ts.size, dtype=bool)
+    new[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+    new[starts] = True
+    lo, hi = int(starts[0]), int(ends[-1])
+    s_starts = np.flatnonzero(new[lo:hi]) + lo
+    s_ends = np.append(s_starts[1:], hi)
+    # session ordinal within its user: session index − index of the user's
+    # first session + 1 (matches SQL SUM(new_sess) OVER)
+    seg_of = np.searchsorted(starts, s_starts, side="right") - 1
+    first_sess_of_seg = np.searchsorted(s_starts, starts)
+    sid = np.arange(s_starts.size) - first_sess_of_seg[seg_of] + 1
+    return pa.table({
+        "user_id": batch.column("user_id").take(pa.array(s_starts))
+        .cast(pa.int64()),
+        "session_id": pa.array(sid, pa.int64()),
+        "n_events": pa.array(s_ends - s_starts, pa.int64()),
+        "session_start_us": pa.array(ts[s_starts], pa.int64()),
+        "session_end_us": pa.array(ts[s_ends - 1], pa.int64()),
+        "sum_value": pa.array(segment_reduce(val, s_starts, hi),
+                              pa.float64()),
+    }, schema=_SESS_SCHEMA)
+
+
 def sessionize_events(sf_dir: str) -> pa.Table:
     """Windowed/session aggregate: split each user's event stream into
-    sessions at >30-min inactivity gaps; one row per session. The
-    per-group kernel is a vectorized cumsum over gap indicators (no Python
-    loop per event)."""
+    sessions at >30-min inactivity gaps; one row per session — sorted-
+    segment path (r2 item 1)."""
+    from ..stages.segments import sorted_segment_map
     ds = _read(sf_dir, "events").select_columns(
         ["user_id", "event_id", "ts", "value"])
-
-    def sessions(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                  ("event_id", "ascending")])
-        g = group.take(order)
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        val = g.column("value").to_numpy(zero_copy_only=False)
-        new_sess = np.ones(ts.size, dtype=np.int64)
-        new_sess[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
-        sess_id = np.cumsum(new_sess)  # 1-based, matches SQL SUM() OVER
-        uniq, starts_idx = np.unique(sess_id, return_index=True)
-        ends_idx = np.append(starts_idx[1:], ts.size)
-        n = ends_idx - starts_idx
-        sums = np.add.reduceat(val, starts_idx)
-        return pa.table({
-            "user_id": pa.array(
-                np.repeat(g.column("user_id")[0].as_py(), uniq.size),
-                pa.int64()),
-            "session_id": pa.array(uniq, pa.int64()),
-            "n_events": pa.array(n, pa.int64()),
-            "session_start_us": pa.array(ts[starts_idx], pa.int64()),
-            "session_end_us": pa.array(ts[ends_idx - 1], pa.int64()),
-            "sum_value": pa.array(_round(sums), pa.float64()),
-        })
-
-    return _tbl(ds.groupby("user_id").map_groups(
-        sessions, batch_format="pyarrow")).sort_by(
-        [("user_id", "ascending"), ("session_id", "ascending")])
+    out = _tbl(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
+                                  _session_block, _SESS_SCHEMA))
+    out = out.set_column(
+        out.column_names.index("sum_value"), "sum_value",
+        pa.array(_round(out.column("sum_value").to_numpy(
+            zero_copy_only=False)), pa.float64()))
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("user_id", "ascending"), ("session_id", "ascending")]))
 
 
 def rolling_avg_events(sf_dir: str) -> pa.Table:
@@ -487,32 +538,75 @@ def _split_sql() -> str:
             f"% 4294967296) AS h FROM documents) ORDER BY doc_id")
 
 
+def _round_nullable(col: pa.ChunkedArray, digits: int) -> pa.Array:
+    vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    rounded = _round(vals, digits)
+    return pa.array(np.where(np.isnan(rounded), None, rounded),
+                    pa.float64(), from_pandas=True)
+
+
 def asof_price_events(sf_dir: str) -> pa.Table:
     """As-of join custom op (J-family beyond the reference): each event
-    picks up the most recent order total of the same user (right side
-    deduped to one row per (custkey, day) so the as-of pick is
-    deterministic on both engines). Right side broadcast via ray.put."""
-    from ..functions.joins import asof_join
-    orders = _tbl(_read(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_orderdate", "o_totalprice"]))
-    df = orders.to_pandas().groupby(["o_custkey", "o_orderdate"],
-                                    as_index=False)["o_totalprice"].max()
-    right = pa.table({
-        "user_id": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
-        "ts": pa.Table.from_pandas(df, preserve_index=False)
-        .column("o_orderdate").cast(pa.timestamp("us")),
-        "price": pa.array(df["o_totalprice"].to_numpy(), pa.float64()),
-    })
+    picks up the most recent order total of the same user. CO-PARTITIONED
+    path (r2 item 4): the right side is deduped to one row per (custkey,
+    day) by a DISTRIBUTED groupby-max (deterministic as-of pick on both
+    engines), then both sides flow through one sort exchange — no driver
+    pandas, no broadcast."""
+    from ray.data.aggregate import Max
+    from ..functions.joins import asof_join_partitioned
+
+    def to_right(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("o_custkey").cast(pa.int64()),
+            "ts": b.column("o_orderdate").cast(pa.timestamp("us")),
+            "price": b.column("max(o_totalprice)").cast(pa.float64())})
+
+    right = (_read(sf_dir, "orders")
+             .select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+             .groupby(["o_custkey", "o_orderdate"])
+             .aggregate(Max("o_totalprice"))
+             .map_batches(to_right, batch_format="pyarrow"))
     ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
-    out = _tbl(asof_join(ds, right, by="user_id", on="ts",
-                         value_cols=["price"]))
-    vals = out.column("price_asof").to_numpy(zero_copy_only=False)
-    rounded = _round(vals, 2)
-    price = pa.array(np.where(np.isnan(rounded), None, rounded),
-                     pa.float64(), from_pandas=True)
+    out = _tbl(asof_join_partitioned(ds, right, by="user_id", on="ts",
+                                     value_cols=["price"]))
     res = pa.table({"event_id": out.column("event_id").cast(pa.int64()),
                     "user_id": out.column("user_id").cast(pa.int64()),
-                    "price_asof": price})
+                    "price_asof": _round_nullable(out.column("price_asof"),
+                                                  2)})
+    return res.take(pc.sort_indices(res, sort_keys=[("event_id",
+                                                     "ascending")]))
+
+
+def asof_purchase_events(sf_dir: str) -> pa.Table:
+    """Self as-of: every event picks up the same user's most recent
+    purchase value — the right side is a FILTERED SLICE OF THE FACT TABLE
+    ITSELF (non-broadcastable at scale; r2 item 4's 'as-of against events
+    itself'), deduped per (user, ts) by distributed groupby-max."""
+    from ray.data.aggregate import Max
+    from ..functions.joins import asof_join_partitioned
+
+    def to_right(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "ts": b.column("ts"),
+            "purchase_value": b.column("max(value)").cast(pa.float64())})
+
+    right = (_read(sf_dir, "events")
+             .select_columns(["user_id", "ts", "value", "event_type"])
+             .map_batches(
+                 lambda b: b.filter(pc.equal(b.column("event_type"),
+                                             "purchase"))
+                 .drop_columns(["event_type"]), batch_format="pyarrow")
+             .groupby(["user_id", "ts"]).aggregate(Max("value"))
+             .map_batches(to_right, batch_format="pyarrow"))
+    ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    out = _tbl(asof_join_partitioned(ds, right, by="user_id", on="ts",
+                                     value_cols=["purchase_value"]))
+    res = pa.table({
+        "event_id": out.column("event_id").cast(pa.int64()),
+        "user_id": out.column("user_id").cast(pa.int64()),
+        "purchase_value_asof": _round_nullable(
+            out.column("purchase_value_asof"), _R)})
     return res.take(pc.sort_indices(res, sort_keys=[("event_id",
                                                      "ascending")]))
 
@@ -538,6 +632,53 @@ def referential_orders_customers(sf_dir: str) -> pa.Table:
                                 batch_format="pyarrow", concurrency=(1, 4)))
     total = int(pc.sum(parts.column("n_dangling")).as_py() or 0)
     return pa.table({"n_dangling": pa.array([total], pa.int64())})
+
+
+def drift_events_value(sf_dir: str) -> pa.Table:
+    """Drift as a graded query (r2 item 9 → VERDICT next-round item 8):
+    PSI + binned-KS of the odd-event_id half of ``events.value`` against
+    the even half, through the REAL drift machinery (``DriftBinner`` actor
+    stage + ``drift_from_counts``) with fixed global-min/max 10-bin edges —
+    SQL-expressible because bins, ε-clipping and normalization are all
+    closed-form (see the matching oracle)."""
+    import pickle
+    from ray.data.aggregate import Max, Min
+    from ..stages.drift import DriftBinner, drift_from_counts
+    ds_all = _read(sf_dir, "events").select_columns(["event_id", "value"])
+    mm = ds_all.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    edges = np.linspace(lo, hi, 11)
+    spec = {"value": {"kind": "numeric", "edges": edges,
+                      "base_counts": np.zeros(10), "is_datetime": False}}
+
+    def binned_half(parity: int) -> np.ndarray:
+        def keep(b: pa.Table) -> pa.Table:
+            mask = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), parity)
+            return b.filter(mask).select(["value"])
+
+        binned = ds_all.map_batches(keep, batch_format="pyarrow").map_batches(
+            DriftBinner, fn_constructor_args=(spec,),
+            batch_format="pyarrow", concurrency=(1, 4))
+        tot = np.zeros(12)
+        for b in binned.iter_batches(batch_format="pyarrow"):
+            for blob in b.column("state").to_pylist():
+                st = pickle.loads(blob)
+                if "value" in st:
+                    tot += st["value"]
+        return tot
+
+    base, cur = binned_half(0), binned_half(1)
+    full_spec = {"value": {"kind": "numeric", "edges": edges,
+                           "base_counts": base[1:-1],
+                           "is_datetime": False}}
+    rep = drift_from_counts(full_spec, {"value": cur})
+    c = rep["columns"]["value"]
+    return pa.table({
+        "psi": pa.array([float(_round(c["psi"]))]),
+        "ks": pa.array([float(_round(c["ks"]))]),
+        "n_base": pa.array([int(c["n_baseline"])], pa.int64()),
+        "n_cur": pa.array([int(c["n_current"])], pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -724,8 +865,10 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "rolling_avg_events": rolling_avg_events,
     "asof_price_events": asof_price_events,
+    "asof_purchase_events": asof_purchase_events,
     "split_documents": split_documents,
     "referential_orders_customers": referential_orders_customers,
+    "drift_events_value": drift_events_value,
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_candidates_documents": simhash_candidates_documents,
@@ -752,9 +895,31 @@ def _sw_sql(lang: str) -> str:
 
 
 _SW_EN_SQL = _sw_sql("en")
-_SW_DE_SQL = _sw_sql("de")
-_SW_FR_SQL = _sw_sql("fr")
-_SW_ES_SQL = _sw_sql("es")
+
+
+def _langid_sql() -> str:
+    """Generated n-language argmax oracle: per-language stopword hit counts,
+    argmax with first-in-dict-order tie-break (matches numpy argmax), 'und'
+    below the 0.05 best-hit-rate threshold. Generated from _LANG_STOPWORDS
+    so adding a language updates engine and oracle together."""
+    langs = list(_SW)
+    hits = ", ".join(
+        f"SUM(CASE WHEN tok IN {_sw_sql(lg)} THEN 1 ELSE 0 END) AS h_{lg}"
+        for lg in langs)
+    greatest = "GREATEST(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lg} >= h_{m}" for m in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{lg}'")
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS tok FROM documents), "
+        f"s AS (SELECT doc_id, COUNT(*) AS n_toks, {hits} "
+        "FROM tok GROUP BY doc_id) "
+        "SELECT doc_id, CASE "
+        f"WHEN {greatest} * 1.0 / n_toks < 0.05 THEN 'und' "
+        + " ".join(case) + f" ELSE '{langs[-1]}' END AS lang_pred "
+        "FROM s ORDER BY doc_id")
 
 
 ORACLE_SQL = {
@@ -861,9 +1026,44 @@ ORACLE_SQL = {
         "FROM events e ASOF LEFT JOIN r "
         "ON e.user_id = r.o_custkey AND r.ots <= e.ts "
         "ORDER BY e.event_id"),
+    "asof_purchase_events": (
+        "WITH r AS (SELECT user_id, ts, MAX(value) AS pv FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+        "SELECT e.event_id, e.user_id, "
+        f"ROUND((r.pv) + 1e-9, {_R}) AS purchase_value_asof "
+        "FROM events e ASOF LEFT JOIN r "
+        "ON e.user_id = r.user_id AND r.ts <= e.ts "
+        "ORDER BY e.event_id"),
     "referential_orders_customers": (
         "SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_dangling "
         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+    # drift: even event_ids = baseline, odd = current; fixed 10 equal-width
+    # bins over the global min/max plus the engine's under/overflow pad bins
+    # (always 0 here, but they enter the ε-clipped PSI normalization exactly
+    # as in stages/drift.py:_psi); KS uses the UNclipped binned CDFs
+    "drift_events_value": (
+        "WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events), "
+        "b AS (SELECT CAST(LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / "
+        "10.0)) AS INT), 9) AS INT) AS bin, event_id % 2 AS par "
+        "FROM events, mm), "
+        "c AS (SELECT bin, SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS bc, "
+        "SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS cc FROM b GROUP BY bin), "
+        "g AS (SELECT i AS bin FROM generate_series(-1, 10) AS t(i)), "
+        "j AS (SELECT g.bin, COALESCE(bc, 0) AS bc, COALESCE(cc, 0) AS cc "
+        "FROM g LEFT JOIN c ON g.bin = c.bin), "
+        "t AS (SELECT bin, bc, cc, GREATEST(bc * 1.0, 1e-6) AS bcl, "
+        "GREATEST(cc * 1.0, 1e-6) AS ccl FROM j), "
+        "s AS (SELECT SUM(bcl) AS sb, SUM(ccl) AS sc, SUM(bc) AS nb, "
+        "SUM(cc) AS nc FROM t), "
+        "cdf AS (SELECT ABS(SUM(bc * 1.0) OVER (ORDER BY bin) / nb - "
+        "SUM(cc * 1.0) OVER (ORDER BY bin) / nc) AS d FROM t, s), "
+        "kd AS (SELECT MAX(d) AS ks FROM cdf) "
+        f"SELECT ROUND((SUM((ccl / sc - bcl / sb) * LN((ccl / sc) / "
+        f"(bcl / sb)))) + 1e-9, {_R}) AS psi, "
+        f"ROUND((ANY_VALUE(kd.ks)) + 1e-9, {_R}) AS ks, "
+        "CAST(ANY_VALUE(nb) AS BIGINT) AS n_base, "
+        "CAST(ANY_VALUE(nc) AS BIGINT) AS n_cur "
+        "FROM t, s, kd"),
     "exact_dedup_documents": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
         "ORDER BY doc_id"),
@@ -925,20 +1125,5 @@ ORACLE_SQL = {
         "AS repetition_ratio "
         "FROM base b JOIN rep r USING (doc_id) JOIN hits h USING (doc_id) "
         "ORDER BY b.doc_id"),
-    "language_id_documents": (
-        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
-        "'\\s+')) AS tok FROM documents), "
-        "s AS (SELECT doc_id, COUNT(*) AS n_toks, "
-        "SUM(CASE WHEN tok IN " + _SW_EN_SQL + " THEN 1 ELSE 0 END) AS h_en, "
-        "SUM(CASE WHEN tok IN " + _SW_DE_SQL + " THEN 1 ELSE 0 END) AS h_de, "
-        "SUM(CASE WHEN tok IN " + _SW_FR_SQL + " THEN 1 ELSE 0 END) AS h_fr, "
-        "SUM(CASE WHEN tok IN " + _SW_ES_SQL + " THEN 1 ELSE 0 END) AS h_es "
-        "FROM tok GROUP BY doc_id) "
-        "SELECT doc_id, CASE "
-        "WHEN GREATEST(h_en, h_de, h_fr, h_es) * 1.0 / n_toks < 0.05 "
-        "THEN 'und' "
-        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
-        "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
-        "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred "
-        "FROM s ORDER BY doc_id"),
+    "language_id_documents": _langid_sql(),
 }

@@ -58,6 +58,8 @@ class _CorpusState:
         self.languages: Counter = Counter()
         self.sent_sum = 0.0
         self.sent_buckets = np.zeros(4, dtype=np.int64)  # (-1,-.5,0,.5,1)
+        self.entity_labels: Counter = Counter()
+        self.entity_terms = TopKCounter(cap=65_536)
 
     def merge(self, o: "_CorpusState") -> None:
         self.n_texts += o.n_texts
@@ -72,15 +74,22 @@ class _CorpusState:
         self.languages.update(o.languages)
         self.sent_sum += o.sent_sum
         self.sent_buckets += o.sent_buckets
+        self.entity_labels.update(o.entity_labels)
+        self.entity_terms.merge(o.entity_terms)
 
 
 class _CorpusPartial:
     """map_batches callable emitting one pickled _CorpusState per batch."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", ner: bool = False):
         self.text_col = text_col
         self.lang_sets = {k: pa.array(sorted(v))
                           for k, v in _LANG_STOPWORDS.items()}
+        # gazetteers built once per actor (ST1 pattern)
+        self.tagger = None
+        if ner:
+            from ..functions.text_nlp import NerTagger
+            self.tagger = NerTagger(text_col=text_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         st = _CorpusState()
@@ -144,6 +153,19 @@ class _CorpusPartial:
             edges = np.array([-1.0, -0.5, 0.0, 0.5, 1.0])
             idx = np.clip(np.searchsorted(edges, score, side="left") - 1, 0, 3)
             st.sent_buckets += np.bincount(idx, minlength=4).astype(np.int64)
+
+            # NER rollup (reference corpus entity counts,
+            # text/profiler.py:449-465): label distribution + entity terms
+            if self.tagger is not None:
+                ent_counts: Counter = Counter()
+                for doc in text.to_pylist():
+                    for e in self.tagger._doc_entities(doc):
+                        st.entity_labels[e["label"]] += 1
+                        ent_counts[f'{e["label"]}:{e["text"]}'] += 1
+                st.entity_terms.update_counts(
+                    list(ent_counts.keys()),
+                    np.fromiter(ent_counts.values(), dtype=np.int64,
+                                count=len(ent_counts)))
         payload = pickle.dumps(st, protocol=pickle.HIGHEST_PROTOCOL)
         return pa.table({"state": pa.array([payload], pa.large_binary())})
 
@@ -151,16 +173,22 @@ class _CorpusPartial:
 def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
                         top_k_terms: int = 25,
                         n_topics: int | None = None,
-                        lda_passes: int = 3) -> dict:
+                        lda_passes: int = 3,
+                        ner: bool = False) -> dict:
     """Corpus rollup → reference-shaped dict (text/profiler.py:662-696).
 
     ``n_topics``: fit the REAL distributed variational-Bayes LDA
     (functions/lda.py) over the corpus and add a ``topics`` entry
-    (reference emits LDA topic top-10 tokens, text/profiler.py:424-440)."""
+    (reference emits LDA topic top-10 tokens, text/profiler.py:424-440).
+    ``ner``: run the gazetteer+shape NerTagger per document inside the
+    same partial pass and add an ``entities`` section (label distribution
+    + top typed entities; reference NER rollup text/profiler.py:449-465)."""
     import datetime
     t0 = datetime.datetime.now()
     partials = ds.select_columns([text_col]).map_batches(
-        _CorpusPartial(text_col), batch_format="pyarrow")
+        _CorpusPartial, fn_constructor_kwargs=dict(text_col=text_col,
+                                                   ner=ner),
+        batch_format="pyarrow", concurrency=(1, 8))
     st = _CorpusState()
     for b in partials.iter_batches(batch_format="pyarrow"):
         for blob in b.column("state").to_pylist():
@@ -206,5 +234,12 @@ def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
                             "(0.5,1)": int(st.sent_buckets[3])},
             },
             **({"topics": topics} if topics is not None else {}),
+            **({"entities": {
+                "label_distribution": dict(sorted(st.entity_labels.items())),
+                "top_entities": [
+                    {"label": t.split(":", 1)[0],
+                     "text": t.split(":", 1)[1], "count": int(c)}
+                    for t, c in st.entity_terms.top_k(top_k_terms)],
+            }} if ner else {}),
         },
     }

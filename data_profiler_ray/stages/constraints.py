@@ -489,11 +489,11 @@ def conversation_checks_parts(ds: "ray.data.Dataset", cfg: ConstraintConfig,
     # rows by coalescing 64 → 16 blocks first). Target ~2 blocks per CPU;
     # at cluster scale block count should instead track
     # bytes / target_max_block_size.
-    # capped: Ray's sort splits each of B blocks ~4-way, so B beyond ~24
-    # recreates the tiny-partition exchange; on a real cluster size B by
-    # bytes/target_max_block_size instead
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    narrow = narrow.repartition(min(max(2 * cpus, 8), 24))
+    # width: Ray's sort splits each of B blocks ~4-way, so B beyond ~24 on
+    # a small input recreates the tiny-partition exchange; large inputs
+    # derive B from bytes/128MB (stages/segments.shuffle_width, r2 item 3)
+    from .segments import shuffle_width
+    narrow = narrow.repartition(shuffle_width(narrow))
 
     checked = narrow.sort([cfg.group_column, cfg.order_column]).map_batches(
         _BlockChecker(cfg, emit_row_violations=emit_row_violations),

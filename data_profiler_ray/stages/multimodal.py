@@ -4,10 +4,11 @@ Media travel as opaque ``binary`` columns with typed metadata columns
 (format, width/height or sample-rate/duration). The Ray-side plumbing —
 schema, actor-pool stage shape, small batch sizes for large payloads,
 output layout — is real and tested. Decode is REAL for the formats a
-library-free container can parse (uncompressed 24-bit **BMP** and PCM-16
-**WAV**, via ``functions/codecs.py`` — pure struct+numpy); formats that
-need external codecs (png/jpeg/mp4) raise ``NotImplementedError`` unless
-``fake=True`` selects the deterministic digest-based fake decode.
+library-free container can parse (uncompressed 24-bit **BMP**, **PNG**
+with stdlib zlib + spec unfiltering, and PCM-16 **WAV**, via
+``functions/codecs.py``); formats that genuinely need external codecs
+(jpeg/mp4) raise ``NotImplementedError`` unless ``fake=True`` selects the
+deterministic digest-based fake decode.
 
 Batch-size guidance baked in: payload stages default to small
 ``batch_size`` so batch_bytes × concurrency stays inside a worker heap
@@ -23,8 +24,9 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.codecs import (audio_features, decode_bmp, decode_wav_pcm16,
-                                encode_bmp, encode_wav_pcm16, image_features)
+from ..functions.codecs import (audio_features, decode_bmp, decode_png,
+                                decode_wav_pcm16, encode_bmp, encode_png,
+                                encode_wav_pcm16, image_features)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -45,19 +47,27 @@ def synthesize_media(n: int, seed: int = 42,
                      real_codecs: bool = False) -> pa.Table:
     """Deterministic media table for plumbing tests.
 
-    With ``real_codecs=True`` image payloads are REAL 64×64 BMPs and audio
-    payloads REAL 16 kHz PCM-16 WAVs (sine + noise), so the decode stage
-    runs its true parsing path; video stays opaque bytes (no mp4 codec).
+    With ``real_codecs=True`` image payloads are REAL 64×64 BMPs/PNGs
+    (alternating) and audio payloads REAL 16 kHz PCM-16 WAVs (sine +
+    noise), so the decode stage runs its true parsing path; video stays
+    opaque bytes (no mp4 codec).
     """
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     if real_codecs:
-        fmts = {"image": "bmp", "audio": "wav", "video": "mp4"}
         payloads = []
+        formats = []
+        n_images = 0
         for k in kinds:
             if k == "image":
                 img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
-                payloads.append(encode_bmp(img))
+                if n_images % 2 == 0:
+                    payloads.append(encode_bmp(img))
+                    formats.append("bmp")
+                else:
+                    payloads.append(encode_png(img))
+                    formats.append("png")
+                n_images += 1
             elif k == "audio":
                 t = np.arange(16000) / 16000.0
                 f0 = float(rng.uniform(100, 2000))
@@ -65,17 +75,20 @@ def synthesize_media(n: int, seed: int = 42,
                      + 0.05 * rng.standard_normal(t.size))
                 payloads.append(encode_wav_pcm16(
                     (s * 32767 * 0.5).astype(np.int16), 16000))
+                formats.append("wav")
             else:
                 payloads.append(rng.integers(0, 256, size=payload_bytes,
                                              dtype=np.uint8).tobytes())
+                formats.append("mp4")
     else:
         fmts = {"image": "png", "audio": "wav", "video": "mp4"}
         payloads = [rng.integers(0, 256, size=payload_bytes,
                                  dtype=np.uint8).tobytes() for _ in range(n)]
+        formats = [fmts[k] for k in kinds]
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds, pa.string()),
-        "format": pa.array([fmts[k] for k in kinds], pa.string()),
+        "format": pa.array(formats, pa.string()),
         "payload": pa.array(payloads, pa.large_binary()),
         "width": pa.array([64 if k != "audio" else None for k in kinds],
                           pa.int32()),
@@ -113,6 +126,15 @@ class MediaFeatureExtractor:
         # REAL decode for the formats parseable without external libs
         if fmt == "bmp":
             return image_features(decode_bmp(payload), self.feat_dim)
+        if fmt == "png":
+            try:
+                img = decode_png(payload)
+                if img.shape[2] == 1:          # gray → replicate channels
+                    img = np.repeat(img, 3, axis=2)
+                return image_features(img[:, :, :3], self.feat_dim)
+            except ValueError:
+                if not self.fake:
+                    raise
         if fmt == "wav":
             try:
                 samples, rate = decode_wav_pcm16(payload)
@@ -122,10 +144,10 @@ class MediaFeatureExtractor:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "png/jpeg/mp4 codecs (PIL/libsndfile/ffmpeg) are not "
-                "available in this environment; bmp/wav decode natively, "
-                "or construct with fake=True for the deterministic "
-                "digest-based fake decode")
+                "jpeg/mp4 codecs (PIL/ffmpeg) are not available in this "
+                "environment; bmp/png/wav decode natively, or construct "
+                "with fake=True for the deterministic digest-based fake "
+                "decode")
         digest = hashlib.blake2b(payload, digest_size=8,
                                  person=kind[:8].encode()).digest()
         rng = np.random.default_rng(int.from_bytes(digest, "little"))

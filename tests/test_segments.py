@@ -1,0 +1,163 @@
+"""Sorted-segment machinery (stages/segments.py): carry-stitch exactness
+with keys deliberately cut across sort blocks, shuffle-width derivation,
+and the co-partitioned as-of join vs pandas merge_asof."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from data_profiler_ray.stages.segments import (segment_reduce, shuffle_width,
+                                               sorted_segment_map)
+
+
+def _collect(ds) -> pd.DataFrame:
+    tbls = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tbls).to_pandas() if tbls else pd.DataFrame()
+
+
+def test_segment_reduce_matches_loop():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 100, 1000).astype(np.int64)
+    starts = np.array([0, 10, 11, 500, 990])
+    end_last = 995
+    got = segment_reduce(x, starts, end_last)
+    bounds = list(starts) + [end_last]
+    exp = [x[a:b].sum() for a, b in zip(bounds[:-1], bounds[1:])]
+    assert got.tolist() == exp
+    got_max = segment_reduce(x, starts, end_last, np.maximum)
+    exp_max = [x[a:b].max() for a, b in zip(bounds[:-1], bounds[1:])]
+    assert got_max.tolist() == exp_max
+
+
+def test_shuffle_width_small_input_keeps_sweet_spot():
+    class Stub:
+        def size_bytes(self):
+            return 50 << 20  # 50 MB
+
+    assert shuffle_width(Stub(), cpus=4) == 8
+    assert shuffle_width(Stub(), cpus=32) == 24
+
+
+def test_shuffle_width_scales_with_bytes():
+    class Stub:
+        def __init__(self, nbytes):
+            self._b = nbytes
+
+        def size_bytes(self):
+            return self._b
+
+    # 10 GB → 80 partitions of ~128 MB, not the 24 cap
+    assert shuffle_width(Stub(10 << 30), cpus=32) == 80
+    # unknown size → fall back to the small sweet spot
+    assert shuffle_width(Stub(0), cpus=32) == 24
+
+
+@pytest.mark.parametrize("width", [2, 5, 11])
+def test_sorted_segment_map_cut_keys_exact(width):
+    """Per-key sum/count via the segment path with few keys and many sort
+    blocks — most keys are cut across blocks, forcing the carry stitch."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),
+        "o": rng.permutation(n),
+        "v": rng.integers(0, 1000, n),
+    })
+    schema = pa.schema([("k", pa.int64()), ("cnt", pa.int64()),
+                        ("sum_v", pa.int64()), ("first_v", pa.int64())])
+
+    def block(batch, starts, ends):
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": batch.column("k").take(pa.array(starts)),
+            "cnt": pa.array(ends - starts, pa.int64()),
+            "sum_v": pa.array(segment_reduce(v, starts, int(ends[-1])),
+                              pa.int64()),
+            "first_v": pa.array(v[starts], pa.int64()),
+        }, schema=schema)
+
+    out = _collect(sorted_segment_map(
+        ray.data.from_pandas(df), "k", ["o"], block, schema, width=width))
+    out = out.sort_values("k").reset_index(drop=True)
+    exp = (df.sort_values(["k", "o"]).groupby("k", as_index=False)
+           .agg(cnt=("v", "size"), sum_v=("v", "sum"),
+                first_v=("v", "first")))
+    assert out["cnt"].tolist() == exp["cnt"].tolist()
+    assert out["sum_v"].tolist() == exp["sum_v"].tolist()
+    # first_v proves the stitch preserves within-key order across cut blocks
+    assert out["first_v"].tolist() == exp["first_v"].tolist()
+    assert len(out) == 9
+
+
+def test_sorted_segment_map_single_key():
+    """One key, many blocks: everything lands in the carry path."""
+    df = pd.DataFrame({"k": 0, "o": np.arange(300), "v": np.arange(300)})
+    schema = pa.schema([("k", pa.int64()), ("cnt", pa.int64())])
+
+    def block(batch, starts, ends):
+        return pa.table({
+            "k": batch.column("k").take(pa.array(starts)),
+            "cnt": pa.array(ends - starts, pa.int64())}, schema=schema)
+
+    out = _collect(sorted_segment_map(
+        ray.data.from_pandas(df), "k", ["o"], block, schema, width=4))
+    assert out["cnt"].tolist() == [300]
+
+
+def test_rolling_window_cut_segments_vs_pandas():
+    """Rolling means survive key cuts: small width forces block boundaries
+    inside keys; head rows of cut continuations must be stitched exactly."""
+    from data_profiler_ray.functions.joins import rolling_window
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], 900),
+        "t": np.arange(900),
+        "v": rng.random(900),
+    })
+    out = _collect(rolling_window(ray.data.from_pandas(df), "k", ["t"], "v",
+                                  window=5))
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    exp = (df.sort_values(["k", "t"]).groupby("k")["v"]
+           .rolling(5, min_periods=1).mean().reset_index(drop=True))
+    assert out["v_rolling_mean"].to_numpy() == pytest.approx(
+        exp.to_numpy(), abs=1e-12)
+
+
+def test_asof_join_partitioned_vs_pandas_merge_asof():
+    """Co-partitioned as-of (no broadcast): equal-ts inclusive match, keys
+    with no right rows stay null, right side larger than trivial."""
+    from data_profiler_ray.functions.joins import asof_join_partitioned
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "key": rng.integers(0, 40, 3000),
+        "ts": rng.integers(0, 100_000, 3000).astype(np.int64),
+        "payload": np.arange(3000),
+    })
+    # right: keys 0..29 only (10 keys dangle); unique (key, ts)
+    right = (pd.DataFrame({
+        "key": rng.integers(0, 30, 2000),
+        "ts": rng.integers(0, 100_000, 2000).astype(np.int64),
+        "rate": rng.random(2000).round(6),
+    }).drop_duplicates(["key", "ts"]).reset_index(drop=True))
+    # plant an exact-equality match to pin inclusivity
+    left.loc[0, ["key", "ts"]] = [right.loc[0, "key"], right.loc[0, "ts"]]
+
+    out = _collect(asof_join_partitioned(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="key", on="ts", value_cols=["rate"], width=3))
+    out = out.sort_values("payload").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="key", direction="backward"
+    ).sort_values("payload").reset_index(drop=True)
+    got = out["rate_asof"].to_numpy(dtype=np.float64)
+    expv = exp["rate"].to_numpy(dtype=np.float64)
+    both_nan = np.isnan(got) & np.isnan(expv)
+    assert (both_nan | (got == expv)).all()
+    assert len(out) == len(left)
+    # the planted equal-ts row matched inclusively
+    assert out.loc[out["payload"] == 0, "rate_asof"].iloc[0] == \
+        right.loc[0, "rate"]

@@ -41,7 +41,42 @@ def test_ner():
     assert ("alice@example.com", "EMAIL") in labels
     assert ("42", "CARDINAL") in labels
     assert any(l == "URL" for _, l in labels)
-    assert ("Alice Johnson", "ENTITY") in labels
+    assert ("Alice Johnson", "PERSON") in labels
+
+
+def test_ner_labeled_fixture_distribution():
+    """Gazetteer + shape rules type entities like the reference's spaCy
+    label map (text/profiler.py:449-465): PERSON/ORG/GPE/DATE/TIME/MONEY/
+    PERCENT typed correctly on a labeled fixture; no double-count of spans
+    consumed by typed patterns."""
+    from collections import Counter
+
+    from data_profiler_ray.functions.text_nlp import NerTagger
+    fixture = [
+        ("Dr Emma Watson joined Acme Corp in Berlin on March 5, 2021.",
+         {("Emma Watson", "PERSON"), ("Acme Corp", "ORG"),
+          ("Berlin", "GPE"), ("March 5, 2021", "DATE")}),
+        ("The meeting with Peter Mueller is at 14:30 in Paris.",
+         {("Peter Mueller", "PERSON"), ("14:30", "TIME"),
+          ("Paris", "GPE")}),
+        ("Stanford University raised $12 million, up 8% from France.",
+         {("Stanford University", "ORG"), ("$12 million", "MONEY"),
+          ("8%", "PERCENT"), ("France", "GPE")}),
+        ("Mr Omar visited Tokyo and Sydney before Friday.",
+         {("Omar", "PERSON"), ("Tokyo", "GPE"), ("Sydney", "GPE"),
+          ("Friday", "DATE")}),
+    ]
+    tagger = NerTagger()
+    tbl = pa.table({"text": pa.array([t for t, _ in fixture])})
+    rows = tagger(tbl)["entities"].to_pylist()
+    for (text, want), got in zip(fixture, rows):
+        got_set = {(e["text"], e["label"]) for e in got}
+        missing = want - got_set
+        assert not missing, (text, got_set, missing)
+    # entity-type distribution over the fixture corpus
+    dist = Counter(e["label"] for row in rows for e in row)
+    assert dist["PERSON"] >= 3 and dist["GPE"] >= 5 and dist["ORG"] >= 2
+    assert dist["DATE"] >= 2 and dist["MONEY"] >= 1 and dist["PERCENT"] >= 1
 
 
 def test_topic_tokens():
@@ -159,6 +194,25 @@ def test_sentiment_vader_heuristics():
     assert s[5] > 0                          # double-negative positive
     assert s[6] == 0.0 and s[7] == 0.0
     assert all(-1.0 <= v <= 1.0 for v in s if v is not None)
+
+
+def test_corpus_profile_with_ner():
+    import ray.data
+
+    from data_profiler_ray.pipelines.text_corpus import profile_text_corpus
+    docs = [
+        "Dr Emma Watson joined Acme Corp in Berlin on March 5, 2021.",
+        "Acme Corp opened an office in Paris at 09:15 with $3 million.",
+        "Mr Omar met Alice Johnson in Tokyo before Friday.",
+    ] * 5
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+    prof = profile_text_corpus(ds, ner=True)
+    ents = prof["corpus"]["entities"]
+    dist = ents["label_distribution"]
+    assert dist["PERSON"] >= 10 and dist["ORG"] >= 10 and dist["GPE"] >= 10
+    top = {(e["label"], e["text"]) for e in ents["top_entities"]}
+    assert ("ORG", "Acme Corp") in top
+    assert ("GPE", "Berlin") in top
 
 
 def test_corpus_profile_with_topics(sf_dir):

@@ -292,6 +292,8 @@ def test_media_decode_stub_raises():
     from data_profiler_ray.stages.multimodal import MediaFeatureExtractor
     ex = MediaFeatureExtractor(fake=False)
     with pytest.raises(NotImplementedError):
+        ex._decode("image", "jpeg", b"bytes")
+    with pytest.raises(ValueError):  # png is a REAL codec now: bad payload
         ex._decode("image", "png", b"bytes")
 
 
@@ -311,11 +313,35 @@ def test_frame_sampler():
 
 def test_language_id_labeled_accuracy():
     """Mini confusion-matrix check on labeled sentences: ≥90% accuracy over
-    the four supported languages, no language hijacks another's sentences.
+    the ten supported languages, no language hijacks another's sentences.
     (The synthetic documents.lang column is uncorrelated with its
     English-ish text, so the labeled fixture lives here; exact parity of
     the heuristic itself is covered by the language_id_documents oracle.)"""
     labeled = [
+        ("it", "il cane e il gatto sono nella casa e non sono come gli "
+               "altri del paese"),
+        ("it", "la vita è più bella anche per chi non sono mai come gli "
+               "altri nel mondo"),
+        ("pt", "o cachorro e o gato estão na casa mas não para a rua "
+               "como você foi"),
+        ("pt", "ele foi para a cidade com um amigo mas não como os "
+               "outros do bairro"),
+        ("nl", "de hond en de kat zijn niet in het huis maar op de "
+               "stoep met mij"),
+        ("nl", "ik ga met je naar de stad om dat niet aan het einde "
+               "voor ons is"),
+        ("sv", "och det är en katt som inte har ett hus med den till "
+               "oss på vägen"),
+        ("sv", "jag har inte en bil men det är bra för den som var på "
+               "plats med oss"),
+        ("pl", "to nie jest tak jak po co ale się w domu na pewno do "
+               "niego idzie"),
+        ("pl", "on nie wie czy jest w stanie ale jak się po tym od "
+               "razu za nim"),
+        ("da", "og det er ikke en kat der var på huset til han og hun "
+               "har set os"),
+        ("da", "jeg har ikke set hende men det er godt at hun var der "
+               "og ikke han"),
         ("en", "the cat sat on the mat and it was warm in the sun"),
         ("en", "this is a test of the system and it should be fine"),
         ("en", "we went to the park for a walk with the dog"),
@@ -386,9 +412,57 @@ def test_bmp_wav_roundtrip():
     assert np.allclose(dec, s / 32768.0, atol=1e-4)
 
 
+def test_png_roundtrip_and_filters():
+    from data_profiler_ray.functions.codecs import decode_png, encode_png
+    import struct
+    import zlib
+    from data_profiler_ray.functions.codecs import _PNG_SIG, _png_chunk
+    rng = np.random.default_rng(8)
+    # roundtrip: gray, RGB (odd dims), RGBA
+    gray = rng.integers(0, 256, size=(21, 17), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray))[:, :, 0], gray)
+    rgb = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    rgba = rng.integers(0, 256, size=(8, 9, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    # foreign-file filters: forward-filter a known image with Sub/Up/
+    # Average/Paeth scanlines (independent reference implementation of the
+    # published spec), decoder must invert them exactly
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    raw = img.reshape(h, w * c).astype(np.int64)
+    lines = bytearray()
+    filters = [1, 2, 3, 4, 2]
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa_, pb, pcd = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa_ <= pb and pa_ <= pcd else (b if pb <= pcd else cc)
+
+    for y, f in enumerate(filters):
+        prev = raw[y - 1] if y > 0 else np.zeros(w * c, dtype=np.int64)
+        row = raw[y]
+        out = np.zeros(w * c, dtype=np.int64)
+        for x in range(w * c):
+            left = row[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            pred = {1: left, 2: up, 3: (left + up) // 2,
+                    4: paeth(left, up, ul)}[f]
+            out[x] = (row[x] - pred) % 256
+        lines.append(f)
+        lines += bytes(out.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+
 def test_real_codec_feature_extraction():
-    """Real BMP/WAV payloads run the TRUE decode path (fake=False) end to
-    end through the actor-pool stage; png/mp4 still gate."""
+    """Real BMP/PNG/WAV payloads run the TRUE decode path (fake=False) end
+    to end through the actor-pool stage; jpeg/mp4 still gate."""
     tbl = synthesize_media(60, seed=5, real_codecs=True)
     keep = pa.compute.is_in(tbl["kind"], value_set=pa.array(["image",
                                                             "audio"]))
