@@ -33,6 +33,11 @@ BENCH_SHARDS = int(os.environ.get("BENCH_SHARDS", "64"))
 # analogue of "a cluster-size criterion is measured at cluster-scale data"
 SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "4000000"))
 SCALING_SHARDS = int(os.environ.get("SCALING_SHARDS", "64"))
+# median-of-N per pipeline: this virtualized box shows ±50% wall noise
+# between same-day runs (BASELINE.md); a single sample is a lottery ticket
+# (the r2 recorded artifact drew a 1.7× tail). Each pipeline runs REPS
+# times back-to-back and records the median rep.
+BENCH_REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def _init_ray(num_cpus: int):
@@ -105,16 +110,26 @@ def main() -> dict:
 
     _init_ray(NUM_CPUS)
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        reps = []
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            fn()
+            reps.append(round(time.time() - t0, 3))
+        all_reps[name] = reps
+        timings[name] = sorted(reps)[len(reps) // 2]
 
     _warmup()
 
     out_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    val = run_validation_job(f"{out_root}/dpr_bench_out")
+    vals = [run_validation_job(f"{out_root}/dpr_bench_out")
+            for _ in range(BENCH_REPS)]
+    vals.sort(key=lambda v: v["seconds"])
+    val = vals[len(vals) // 2]
+    all_reps["validate_transcripts"] = [round(v["seconds"], 3)
+                                        for v in vals]
     timings["validate_transcripts"] = round(val["seconds"], 3)
 
     timed("profile_lineitem_full", lambda: profile_dataset(
@@ -152,6 +167,8 @@ def main() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_turns": BENCH_TURNS,
+        "bench_reps": BENCH_REPS,
+        "rep_samples": all_reps,
         "validated_turns_per_sec": round(val["turns_per_sec"], 1),
     }
     print(json.dumps(out))

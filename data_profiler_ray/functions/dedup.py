@@ -933,7 +933,12 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
         fn_constructor_kwargs=dict(emb_col=emb_col, id_col=id_col,
                                    n_bits=n_bits, dim=dim,
                                    n_tables=n_tables),
-        batch_format="pyarrow", concurrency=concurrency or (1, 8))
+        batch_format="pyarrow", concurrency=concurrency or (1, 8)
+    ).materialize()
+    # materialize BEFORE shuffle_width: size_bytes() on a lazy dataset
+    # executes the plan, so an unmaterialized probe would run the whole
+    # bucketing stage twice (measured 3× wall on the 200k bench); the sort
+    # consumes the materialized set immediately anyway
     from ..stages.segments import shuffle_width
     srt = bucketed.repartition(shuffle_width(bucketed)).sort("bucket")
 
@@ -1107,6 +1112,8 @@ def exact_dedup(ds: "ray.data.Dataset", key_cols: list[str],
     block, zero per-group Python; groups cut at block edges are resolved
     from the o(#blocks) boundary rows on the driver."""
     from ..stages.segments import shuffle_width
+    ds = ds.materialize()  # size_bytes() on a lazy ds would execute it;
+    # unmaterialized, the sort would then execute it a second time
     srt = ds.repartition(shuffle_width(ds)).sort(
         list(key_cols) + [id_col])
 

@@ -492,7 +492,10 @@ def conversation_checks_parts(ds: "ray.data.Dataset", cfg: ConstraintConfig,
     # width: Ray's sort splits each of B blocks ~4-way, so B beyond ~24 on
     # a small input recreates the tiny-partition exchange; large inputs
     # derive B from bytes/128MB (stages/segments.shuffle_width, r2 item 3)
+    # (materialize first: size_bytes() on the lazy projection would execute
+    # it AND the sort would re-execute it — double parquet decode)
     from .segments import shuffle_width
+    narrow = narrow.materialize()
     narrow = narrow.repartition(shuffle_width(narrow))
 
     checked = narrow.sort([cfg.group_column, cfg.order_column]).map_batches(
