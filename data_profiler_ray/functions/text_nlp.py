@@ -10,11 +10,12 @@ are available):
 - ``clean_text_batch``  — M7: punctuation strip (keep apostrophes, hyphen →
   space), lowercasing, stopword removal, REAL Porter stemmer
   (functions/stemmer.py, the published 1980 algorithm);
-- ``sentiment_batch``   — M9: VADER-style compound in [-1, 1] (public rule
-  set: negation window, intensifier boost, exclamation emphasis,
-  x/√(x²+α) normalization; reference ``:442-447``);
-- ``ner_batch``         — M10: regex entity extraction (capitalized runs →
-  ENTITY, numbers → CARDINAL, emails/URLs typed) instead of spaCy
+- ``sentiment_batch``   — M9: the VADER compound (graded lexicon subset in
+  vader_lexicon.py + the published rule set: distance-decayed boosters,
+  ALLCAPS emphasis, negation window, but-clause, punctuation
+  amplification, x/√(x²+α) normalization; reference ``:442-447``);
+- ``NerTagger``/``ner_batch`` — M10: gazetteer + shape-rule entity
+  extraction with the spaCy-style label space instead of spaCy
   ``doc.ents`` (reference ``:449-465``);
 - ``topic_tokens_batch``— M11 per-doc stand-in: top-k frequent
   non-stopword tokens (the corpus-level REAL topic model is
@@ -66,74 +67,119 @@ def clean_text_batch(batch: pa.Table, text_col: str = "text",
     return _set_column(batch, "text_clean", pa.array(out, pa.string()))
 
 
-_NEGATIONS = ("not", "no", "never", "neither", "nor", "cannot", "can't",
-              "don't", "doesn't", "didn't", "isn't", "wasn't", "won't",
-              "wouldn't", "shouldn't", "couldn't", "ain't", "without")
-_INTENSIFIERS = ("very", "really", "extremely", "absolutely", "completely",
-                 "totally", "so", "incredibly", "utterly", "especially")
-_NEGATION_WINDOW = 3        # a negation flips polarity of the next 3 tokens
-_INTENSIFIER_BOOST = 0.293  # VADER's published B_INCR scalar
+_NEGATION_WINDOW = 3         # a negation scales the next 3 tokens
+_BOOST_DISTANCE_W = (1.0, 0.95, 0.9)  # published distance decay for boosters
+_B_EXCL = 0.292              # per-'!' emphasis, capped at 4
+_QM_STEP, _QM_CAP = 0.18, 0.96  # '?' emphasis: n×0.18 for 2-3, else 0.96
+
+
+def vader_compound(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Compound score per document in [-1, 1] — the VADER algorithm
+    (Hutto & Gilbert 2014; published rule set + graded lexicon subset in
+    ``vader_lexicon.py``; reference consumes NLTK's implementation at
+    text/profiler.py:442-447):
+
+    - graded word valences on the −4..+4 scale;
+    - degree modifiers (boosters/dampeners) up to 3 tokens back with the
+      published distance decay 1.0/0.95/0.9, sign-aligned;
+    - ALLCAPS emphasis +0.733·sign when the doc is mixed-case;
+    - negation ×−0.74 within a 3-token window;
+    - but-clause reweighting (×0.5 before the first 'but', ×1.5 after);
+    - '!' (0.292 each, ≤4) and '?' (0.18×n for 2-3, 0.96 beyond)
+      amplification, sign-aligned;
+    - normalization x/√(x²+15).
+
+    Not implemented from the original (documented gaps): special-case
+    idioms ('the bomb', 'kiss of death'), 'least'/'never so' sequence
+    rules, emoticon entries. Fully vectorized: dict lookups via pandas
+    map over the flat token array; windows via shifted-index arithmetic
+    masked at document boundaries.
+    """
+    import pandas as pd
+
+    from .vader_lexicon import (ALPHA, BOOSTERS, C_INCR, LEXICON, NEGATIONS,
+                                N_SCALAR)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    filled = pc.fill_null(text, "")
+    toks = pc.split_pattern_regex(filled, r"\s+")  # case-preserving
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    n_docs = len(offsets) - 1
+    if not len(flat) or n_docs == 0:
+        return np.zeros(n_docs)
+    n_tok = len(flat)
+    doc_len = np.diff(offsets)          # ≥1 always (split of "" is [""])
+    starts = offsets[:-1]
+    doc_start_of = np.repeat(starts, doc_len)
+    pos = np.arange(n_tok)
+
+    # strip clinging punctuation so "good!" / "BAD," match the lexicon
+    bare = pc.replace_substring_regex(flat, r"^\W+|\W+$", "")
+    lower = pd.Series(pc.utf8_lower(bare).to_numpy(zero_copy_only=False))
+    val = lower.map(LEXICON).fillna(0.0).to_numpy(dtype=np.float64)
+    boost = lower.map(BOOSTERS).fillna(0.0).to_numpy(dtype=np.float64)
+    neg_flag = lower.isin(NEGATIONS).to_numpy().astype(np.float64)
+    # a booster position that is itself a lexicon word contributes valence,
+    # not a scalar (mirrors the published in-lexicon skip)
+    boost = np.where(val != 0.0, 0.0, boost)
+
+    # ALLCAPS emphasis: only when the doc mixes cased styles
+    is_caps = pc.and_(pc.utf8_is_upper(bare),
+                      pc.match_substring_regex(bare, "[A-Za-z]{2}")).cast(
+        pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
+    has_alpha = pc.match_substring_regex(bare, "[A-Za-z]").cast(
+        pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
+    d_caps = np.add.reduceat(is_caps, starts)
+    d_alpha = np.add.reduceat(has_alpha, starts)
+    cap_diff = (d_caps > 0) & (d_caps < d_alpha)
+    cap_tok = is_caps * np.repeat(cap_diff, doc_len)
+    sign = np.sign(val)
+    val = val + C_INCR * sign * cap_tok
+
+    # distance-decayed booster scalars from up to 3 preceding tokens
+    scalar = np.zeros(n_tok)
+    for d, w in enumerate(_BOOST_DISTANCE_W, start=1):
+        prev = pos - d
+        ok = prev >= doc_start_of
+        scalar += np.where(ok, w * boost[np.maximum(prev, 0)], 0.0)
+    val = val + scalar * sign
+
+    # negation window: any negation in the previous 3 same-doc tokens
+    cs = np.concatenate([[0.0], np.cumsum(neg_flag)])
+    lo = np.maximum(pos - _NEGATION_WINDOW, doc_start_of)
+    negated = (cs[pos] - cs[lo]) > 0
+    val = np.where(negated, N_SCALAR * val, val)
+
+    # but-clause: ×0.5 before the first 'but' of the doc, ×1.5 after
+    is_but = (lower == "but").to_numpy()
+    if is_but.any():
+        but_pos = np.where(is_but, pos, n_tok)
+        first_but = np.minimum.reduceat(but_pos, starts)
+        fb_tok = np.repeat(first_but, doc_len)
+        val = np.where(fb_tok < n_tok,
+                       np.where(pos < fb_tok, 0.5 * val,
+                                np.where(pos > fb_tok, 1.5 * val, val)),
+                       val)
+
+    sums = np.add.reduceat(val, starts)
+    # punctuation amplification, sign-aligned
+    excl = np.minimum(pc.fill_null(pc.count_substring(filled, "!"), 0).cast(
+        pa.float64()).to_numpy(zero_copy_only=False), 4.0) * _B_EXCL
+    qm = pc.fill_null(pc.count_substring(filled, "?"), 0).cast(
+        pa.float64()).to_numpy(zero_copy_only=False)
+    qamp = np.where(qm > 3, _QM_CAP, np.where(qm > 1, qm * _QM_STEP, 0.0))
+    sums = sums + np.sign(sums) * (excl + qamp)
+    return np.clip(sums / np.sqrt(sums * sums + ALPHA), -1.0, 1.0)
 
 
 def sentiment_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """M9 polarity per document in [-1, 1], VADER-style heuristics
-    (public rule set — Hutto & Gilbert 2014): word-list valence, negation
-    flips within a 3-token window, intensifier boost, exclamation
-    emphasis, compound normalization x/√(x²+α).
-
-    Fully vectorized over the batch's flat token array: the negation
-    window is a rolling-max of negation flags (cumulative-count trick),
-    masked at document boundaries.
-    """
-    from ..pipelines.text_corpus import _NEGATIVE, _POSITIVE
-    from .text import _set_column, _token_lists
-    text = batch.column(text_col)
-    flat, offsets = _token_lists(text)
-    n_docs = len(offsets) - 1
-    compound = np.zeros(n_docs)
-    if len(flat):
-        doc_len = np.diff(offsets)
-        starts = np.clip(offsets[:-1], 0, len(flat) - 1)
-        doc_of = np.repeat(np.arange(n_docs), doc_len)
-        n_tok = len(flat)
-
-        # strip clinging punctuation so "good!"/"bad," match the lists
-        bare = pc.replace_substring_regex(flat, r"^\W+|\W+$", "")
-
-        def _flags(words) -> np.ndarray:
-            return pc.is_in(bare, value_set=pa.array(sorted(words))).cast(
-                pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
-
-        val = _flags(_POSITIVE) - _flags(_NEGATIVE)
-        neg_flag = _flags(_NEGATIONS)
-        # a token acting as negation carries no valence of its own
-        # ("never" sits in the negative word list too)
-        val = np.where(neg_flag > 0, 0.0, val)
-        intens = _flags(_INTENSIFIERS)
-        # negated[i]: a negation occurred in the previous _NEGATION_WINDOW
-        # tokens of the SAME document → rolling window via cumsum diff
-        cs = np.concatenate([[0.0], np.cumsum(neg_flag)])
-        lo = np.maximum(np.arange(n_tok) - _NEGATION_WINDOW, 0)
-        # clamp the window start to the token's own document start
-        lo = np.maximum(lo, np.repeat(offsets[:-1], doc_len)[:n_tok])
-        window_neg = cs[np.arange(n_tok)] - cs[lo]
-        negated = window_neg > 0
-        # intensifier immediately before a valence token (same doc)
-        boost = np.zeros(n_tok)
-        if n_tok > 1:
-            prev_int = np.r_[0.0, intens[:-1]]
-            same_doc = np.r_[False, doc_of[1:] == doc_of[:-1]]
-            boost[1:] = (prev_int[1:] * same_doc[1:])
-        signed = np.where(negated, -0.74 * val, val)  # VADER N_SCALAR=-0.74
-        signed = signed * (1.0 + _INTENSIFIER_BOOST * boost)
-        sums = np.add.reduceat(signed, starts)
-        sums = np.where(doc_len > 0, sums, 0.0)
-        # exclamation emphasis (up to 4 count, VADER's cap), sign-aligned
-        excl_cnt = pc.fill_null(pc.count_substring(text, "!"), 0).cast(
-            pa.float64()).to_numpy(zero_copy_only=False)
-        n_excl = np.minimum(excl_cnt, 4.0)
-        sums = sums + np.sign(sums) * 0.292 * n_excl  # B_EXCL=0.292
-        compound = sums / np.sqrt(sums * sums + 15.0)  # VADER α=15
+    """M9 polarity per document → ``sentiment`` column (VADER compound;
+    see :func:`vader_compound`)."""
+    from .text import _set_column
+    compound = vader_compound(batch.column(text_col))
     return _set_column(batch, "sentiment", pa.array(compound, pa.float64()))
 
 

@@ -10,11 +10,11 @@ the driver (partials are KB-sized regardless of corpus size).
 
 Model-dependent reference stages map to deterministic equivalents:
 spaCy/ftlangdetect language-ID → the stopword-hit heuristic
-(functions/text.py); VADER sentiment → a small public positive/negative
-word-list score in [-1, 1] (same 4-bucket histogram shape as
-``text/profiler.py:979-990``); NER/LDA are omitted (no models in this
-environment — the actor-pool pattern for them is demonstrated by
-stages/multimodal.py).
+(functions/text.py); VADER sentiment → the real VADER compound
+(functions/text_nlp.py:vader_compound — graded lexicon subset + published
+rule set; same 4-bucket histogram as ``text/profiler.py:979-990``);
+NER → the gazetteer+shape NerTagger (``ner=True``); LDA → the distributed
+variational-Bayes model in functions/lda.py (``n_topics=...``).
 """
 
 from __future__ import annotations
@@ -34,14 +34,6 @@ from ..state.hll import HLLSketch
 from ..state.topk import TopKCounter
 
 _SENT_SPLIT = r"[.!?]+"
-
-# tiny public sentiment word lists (AFINN-style polarity, trimmed)
-_POSITIVE = {"good", "great", "excellent", "happy", "love", "best", "nice",
-             "thanks", "thank", "perfect", "awesome", "helpful", "right",
-             "correct", "works", "success", "win", "fine", "glad", "yes"}
-_NEGATIVE = {"bad", "terrible", "awful", "sad", "hate", "worst", "wrong",
-             "error", "fail", "failed", "broken", "bug", "problem", "issue",
-             "no", "not", "never", "slow", "crash", "timeout"}
 
 
 class _CorpusState:
@@ -126,12 +118,6 @@ class _CorpusPartial:
             starts = np.clip(offsets[:-1], 0, max(len(flat) - 1, 0))
             langs = list(self.lang_sets)
             scores = np.zeros((len(langs), len(doc_len)))
-            pos_hits = pc.is_in(flat, value_set=pa.array(
-                sorted(_POSITIVE))).cast(pa.int8()).to_numpy(
-                zero_copy_only=False).astype(np.float64)
-            neg_hits = pc.is_in(flat, value_set=pa.array(
-                sorted(_NEGATIVE))).cast(pa.int8()).to_numpy(
-                zero_copy_only=False).astype(np.float64)
             for i, lang in enumerate(langs):
                 hits = pc.is_in(flat, value_set=self.lang_sets[lang]).cast(
                     pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -144,11 +130,12 @@ class _CorpusPartial:
                             np.array(langs, dtype=object)[best], "unknown")
             st.languages.update(Counter(pred.tolist()))
 
-            # sentiment per text: (pos − neg) / words, clipped to [-1, 1]
-            p = np.where(has, np.add.reduceat(pos_hits, starts), 0.0)
-            ng = np.where(has, np.add.reduceat(neg_hits, starts), 0.0)
-            score = np.clip(np.divide(p - ng, np.maximum(doc_len, 1.0)) * 5,
-                            -1.0, 1.0)
+            # sentiment per text: the REAL VADER compound (graded lexicon
+            # + published rule set, functions/text_nlp.py:vader_compound) —
+            # the reference's sentiment buckets are over this same score
+            # (text/profiler.py:979-990)
+            from ..functions.text_nlp import vader_compound
+            score = vader_compound(text)
             st.sent_sum = float(score.sum())
             edges = np.array([-1.0, -0.5, 0.0, 0.5, 1.0])
             idx = np.clip(np.searchsorted(edges, score, side="left") - 1, 0, 3)

@@ -196,6 +196,42 @@ def test_sentiment_vader_heuristics():
     assert all(-1.0 <= v <= 1.0 for v in s if v is not None)
 
 
+def test_sentiment_vader_exact_compounds():
+    """Compound scores match the published VADER formula to 1e-4 on a
+    fixed sentence set: hand-computed x/sqrt(x^2+15) over the graded
+    valences + rule scalars ('good' -> 0.4404 and 'not good' -> -0.3412
+    are the canonical published example values)."""
+    import math
+
+    from data_profiler_ray.functions.text_nlp import sentiment_batch
+
+    def norm(x):
+        return x / math.sqrt(x * x + 15.0)
+
+    cases = [
+        ("good", norm(1.9)),                       # published 0.4404
+        ("not good", norm(-0.74 * 1.9)),           # published -0.3412
+        ("very good", norm(1.9 + 0.293)),
+        ("good!", norm(1.9 + 0.292)),
+        ("good!!!", norm(1.9 + 3 * 0.292)),
+        ("bad", norm(-2.5)),
+        ("extremely bad", norm(-2.5 - 0.293)),
+        ("slightly bad", norm(-2.5 + 0.293)),      # dampener
+        ("the food is GREAT here", norm(3.1 + 0.733)),  # ALLCAPS emphasis
+        # but-clause: pre-but x0.5, post-but x1.5
+        ("good but bad", norm(0.5 * 1.9 + 1.5 * -2.5)),
+        ("really really good", norm(1.9 + 1.0 * 0.293 + 0.95 * 0.293)),
+        ("good??", norm(1.9 + 2 * 0.18)),          # 2 qm -> 0.36
+        ("good?? worth it??", norm(1.9 + 0.96)),   # 4 qm -> capped 0.96
+    ]
+    assert abs(norm(1.9) - 0.4404) < 1e-4
+    assert abs(norm(-0.74 * 1.9) - -0.3412) < 1e-4
+    tbl = pa.table({"text": pa.array([t for t, _ in cases])})
+    got = sentiment_batch(tbl)["sentiment"].to_pylist()
+    for (text, want), g in zip(cases, got):
+        assert abs(g - want) < 1e-4, (text, g, want)
+
+
 def test_corpus_profile_with_ner():
     import ray.data
 
