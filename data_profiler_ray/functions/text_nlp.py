@@ -49,20 +49,39 @@ def _stem(tok: str) -> str:
 
 
 def clean_text_batch(batch: pa.Table, text_col: str = "text",
-                     lang: str = "en") -> pa.Table:
+                     lang: str = "en", mode: str = "stem") -> pa.Table:
     """M7 cleaning chain → adds ``text_clean`` (reference profiler.py:315-365:
-    punctuation strip keeping apostrophes, '-'→space, stopwords, stemming)."""
+    punctuation strip keeping apostrophes, '-'→space, per-language
+    stopwords, then per-language stemming or lemmatization).
+
+    ``lang`` selects the stopword list AND the normalizer: Porter for
+    English, Snowball German, light stemmers for fr/es/it/pt
+    (functions/stemmer_i18n.py — the reference runs NLTK Snowball per
+    detected language, text/profiler.py:337-341). ``mode="lemma"`` swaps
+    in the English lemmatizer (functions/lemmatizer.py, the simplemma
+    analogue of text/profiler.py:343-365); non-English lemma falls back
+    to that language's stemmer.
+    """
+    from .stemmer_i18n import stem_token
     text = batch.column(text_col)
     norm = pc.replace_substring_regex(text, r"-", " ")
-    norm = pc.replace_substring_regex(norm, r"[^\w\s']", "")
+    # RE2's \w is ASCII-only — use unicode classes so accented letters
+    # (häuser, canción) survive the punctuation strip
+    norm = pc.replace_substring_regex(norm, r"[^\p{L}\p{N}_\s']", "")
     norm = pc.utf8_lower(norm)
     stop = _LANG_STOPWORDS.get(lang, _LANG_STOPWORDS["en"])
+    if mode == "lemma" and lang == "en":
+        from .lemmatizer import lemmatize as _norm_tok
+    else:
+        def _norm_tok(t, _lang=lang):
+            return stem_token(t, _lang)
     out = []
     for v in norm.to_pylist():
         if v is None:
             out.append(None)
             continue
-        out.append(" ".join(_stem(t) for t in v.split() if t not in stop))
+        out.append(" ".join(_norm_tok(t) for t in v.split()
+                            if t not in stop))
     from .text import _set_column
     return _set_column(batch, "text_clean", pa.array(out, pa.string()))
 

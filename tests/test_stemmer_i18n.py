@@ -1,0 +1,85 @@
+"""Multi-language stemmer + English lemmatizer tests (M7 fidelity,
+VERDICT r2 missing item 3)."""
+
+import pyarrow as pa
+
+from data_profiler_ray.functions.lemmatizer import lemmatize
+from data_profiler_ray.functions.stemmer_i18n import stem_token
+
+
+def test_german_snowball_sample_vocabulary():
+    """Hand-traced outputs of the published Snowball German algorithm
+    (spec steps verified token by token against the algorithm text)."""
+    cases = {
+        "aufeinander": "aufeinand",     # step 1 'er' in R1
+        "kategorie": "kategori",        # step 1 'e'
+        "verfahren": "verfahr",         # step 1 'en'
+        "häufig": "haufig",             # 'ig' NOT in R2 → kept; umlaut fold
+        "abhängigkeit": "abhang",       # keit (R2) then ig (R2)
+        "aufgabe": "aufgab",
+        "bleiben": "bleib",
+        "deutschland": "deutschland",   # no suffix in R1
+        "schönes": "schon",             # 'es' in R1, umlaut fold
+        "wichtigsten": "wichtig",       # 'en' step1, then step-2(b) 'st'
+    }
+    for word, want in cases.items():
+        assert stem_token(word, "de") == want, (word, stem_token(word, "de"))
+
+
+def test_german_s_ending_guard():
+    # step 1(c): final s only after a valid s-ending (b d f g h k l m n r t)
+    assert stem_token("hauses", "de") == "haus"       # 'es' branch
+    assert stem_token("freundes", "de") == "freund"
+    # 's' after vowel is NOT a valid s-ending → retained
+    assert stem_token("autos", "de").endswith("o") or \
+        stem_token("autos", "de").endswith("os")
+
+
+def test_light_stemmers_conflate_inflections():
+    # the property light stemmers must deliver: inflected forms conflate
+    # with their base, unrelated words stay apart
+    groups = [
+        ("fr", ["cheval", "chevaux"]),
+        ("fr", ["grande", "grandes", "grands", "grand"]),
+        ("es", ["libro", "libros", "libra", "libras"]),
+        ("es", ["canción", "canciones"]),
+        ("it", ["libro", "libri", "libra"]),
+        ("pt", ["amigo", "amigos", "amiga", "amigas"]),
+    ]
+    for lang, forms in groups:
+        stems = {stem_token(f, lang) for f in forms}
+        assert len(stems) == 1, (lang, forms, stems)
+    assert stem_token("chat", "fr") != stem_token("chien", "fr")
+    assert stem_token("unknownword", "xx") == "unknownword"  # identity
+
+
+def test_lemmatizer_regular_and_irregular():
+    cases = {
+        "running": "run", "studies": "study", "children": "child",
+        "made": "make", "better": "good", "boxes": "box", "cats": "cat",
+        "making": "make", "opened": "open", "played": "play",
+        "happier": "happy", "was": "be", "went": "go", "mice": "mouse",
+        "visited": "visit", "hoped": "hope", "fixed": "fix",
+        "singing": "sing", "stopped": "stop", "classes": "class",
+        "watches": "watch", "tried": "try", "dancing": "dance",
+        "knives": "knife", "analyses": "analysis", "news": "news",
+        "this": "this", "красный": "красный",  # non-English passthrough
+    }
+    for word, want in cases.items():
+        assert lemmatize(word) == want, (word, lemmatize(word))
+
+
+def test_clean_text_batch_lang_dispatch():
+    from data_profiler_ray.functions.text_nlp import clean_text_batch
+    tbl = pa.table({"text": pa.array(
+        ["Die schönes Häuser bleiben wichtig."])})
+    out = clean_text_batch(tbl, lang="de")["text_clean"].to_pylist()[0]
+    toks = out.split()
+    assert "die" not in toks               # German stopword removed
+    assert "schon" in toks                 # Snowball German + umlaut fold
+    assert "bleib" in toks
+
+    tbl2 = pa.table({"text": pa.array(["The children were running fast."])})
+    out2 = clean_text_batch(tbl2, mode="lemma")["text_clean"].to_pylist()[0]
+    toks2 = out2.split()
+    assert "child" in toks2 and "be" in toks2 and "run" in toks2
