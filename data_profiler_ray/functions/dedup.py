@@ -1001,6 +1001,95 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", emb_col: str = "embedding",
     return ray.data.from_arrow(pairs_tbl)
 
 
+def jaccard_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.7,
+                      k: int = 3, max_rows: int = 200_000) -> pa.Table:
+    """EXACT word-k-shingle Jaccard duplicate pairs via a distributed
+    shingle inverted index — the n-gram-Jaccard family's SQL-checkable
+    exact variant (same role as :func:`embedding_all_pairs_exact`; the
+    scale route is ``minhash_dedup``, whose LSH approximates exactly this
+    measure; reference gap — it has no near-dedup at all, SURVEY.md §2.7).
+
+    Shape: one stateless pass emits the DISTINCT ``(shingle, doc_id)``
+    rows per document (shingles as ``\\x1f``-joined token strings so the
+    result is bit-identical to a SQL string self-join — no hashing, no
+    collision caveat); one sort exchange on ``shingle`` feeds vectorized
+    per-segment pair emission (stages/segments.py — block-cut segments
+    re-stitched exactly); a ``groupby (a, b)`` count gives |A∩B|; per-doc
+    set sizes are a o(#docs) driver dict. A shingle shared by s docs emits
+    s(s-1)/2 pair rows — quadratic in posting size, hence the ``max_rows``
+    guard: above it, use ``minhash_dedup`` + ``verify_jaccard``.
+    """
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"jaccard_dup_pairs is the exact inverted-index baseline "
+            f"(posting lists pair quadratically): input has {n_rows} rows "
+            f"> max_rows={max_rows}. Use minhash_dedup + verify_jaccard "
+            f"for large corpora, or raise max_rows explicitly.")
+
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch.column(text_col), "")),
+            r"\s+").to_pylist()
+        out_id, out_sh = [], []
+        for did, tl in zip(ids, toks):
+            if tl is None or len(tl) < k:
+                continue
+            seen = {"\x1f".join(tl[i:i + k]) for i in range(len(tl) - k + 1)}
+            out_id.extend([did] * len(seen))
+            out_sh.extend(seen)
+        return pa.table({"shingle": pa.array(out_sh, pa.large_string()),
+                         "doc_a": pa.array(out_id, pa.int64())})
+
+    emitted = ds.select_columns([id_col, text_col]).map_batches(
+        emit_shingles, batch_format="pyarrow").materialize()
+
+    sizes_tbl = _tbl_from_ds(emitted.groupby("doc_a").count())
+    sizes = dict(zip(sizes_tbl.column("doc_a").to_pylist(),
+                     sizes_tbl.column("count()").to_pylist()))
+
+    from ..stages.segments import sorted_segment_map
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def seg_pairs(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+                  ) -> pa.Table:
+        ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        a_parts, b_parts = [], []
+        for g in np.flatnonzero(ends - starts >= 2):
+            seg = ids[starts[g]:ends[g]]
+            iu = np.triu_indices(seg.size, k=1)
+            a_parts.append(seg[iu[0]])
+            b_parts.append(seg[iu[1]])
+        if not a_parts:
+            return pair_schema.empty_table()
+        return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
+                         "b": pa.array(np.concatenate(b_parts), pa.int64())},
+                        schema=pair_schema)
+
+    counts = _tbl_from_ds(sorted_segment_map(
+        emitted, "shingle", ["doc_a"], seg_pairs, pair_schema)
+        .groupby(["a", "b"]).count())
+    if counts.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    a = counts.column("a").to_numpy(zero_copy_only=False)
+    b = counts.column("b").to_numpy(zero_copy_only=False)
+    c = counts.column("count()").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    na = np.array([sizes[x] for x in a], dtype=np.float64)
+    nb = np.array([sizes[x] for x in b], dtype=np.float64)
+    jac = c / (na + nb - c)
+    keep = jac >= threshold
+    out = pa.table({"a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(jac[keep], pa.float64())})
+    return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"),
+                                                    ("b", "ascending")]))
+
+
 def embedding_all_pairs_exact(ds: "ray.data.Dataset",
                               emb_col: str = "embedding",
                               id_col: str = "vec_id",

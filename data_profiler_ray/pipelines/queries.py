@@ -699,6 +699,43 @@ def minhash_dedup_documents(sf_dir: str) -> pa.Table:
                                                        "ascending")]))
 
 
+def jaccard_dup_pairs_documents(sf_dir: str) -> pa.Table:
+    """EXACT word-3-shingle Jaccard pairs ≥ 0.7 (the measure MinHash LSH
+    approximates) via the distributed shingle inverted index — oracled
+    against a DuckDB string self-join."""
+    from ..functions.dedup import jaccard_dup_pairs
+    out = jaccard_dup_pairs(_read(sf_dir, "documents"), threshold=0.7, k=3)
+    return pa.table({
+        "a": out.column("a"), "b": out.column("b"),
+        "jaccard": pa.array(_round(out.column("jaccard").to_numpy(
+            zero_copy_only=False)), pa.float64())})
+
+
+def term_topk_documents(sf_dir: str) -> pa.Table:
+    """Corpus-wide top-25 terms (the D2/A18 term-frequency family as an
+    exact distributed query): per-block ``value_counts`` combiner →
+    groupby(term) sum → distributed sort (n desc, term asc) → limit."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import _token_lists
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, _ = _token_lists(b.column("text"))
+        vc = flat.value_counts()
+        return pa.table({
+            "term": vc.field("values").cast(pa.string()),
+            "n_part": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("n_part"))
+           .sort(["sum(n_part)", "term"], descending=[True, False])
+           .limit(25))
+    t = _tbl(agg)
+    return pa.table({"term": t.column("term").cast(pa.string()),
+                     "n": t.column("sum(n_part)").cast(pa.int64())})
+
+
 def simhash_candidates_documents(sf_dir: str) -> pa.Table:
     tbl = _tbl(simhash_candidates(_read(sf_dir, "documents")))
     if tbl.num_rows == 0:
@@ -871,6 +908,8 @@ QUERIES = {
     "drift_events_value": drift_events_value,
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
+    "jaccard_dup_pairs_documents": jaccard_dup_pairs_documents,
+    "term_topk_documents": term_topk_documents,
     "simhash_candidates_documents": simhash_candidates_documents,
     "embedding_dup_pairs": embedding_dup_pairs_query,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
@@ -1067,6 +1106,30 @@ ORACLE_SQL = {
     "exact_dedup_documents": (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text "
         "ORDER BY doc_id"),
+    # word-3-shingle sets as chr(31)-joined strings; DISTINCT per doc;
+    # intersection via string self-join — byte-identical to the engine's
+    # (no hashing on either side). Threshold compared UNROUNDED on both
+    # sides (identical IEEE division), rounding only for the hash.
+    "jaccard_dup_pairs_documents": (
+        "WITH tok AS (SELECT doc_id, string_split_regex(lower(text), "
+        "'\\s+') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, unnest([t[i] || chr(31) || t[i+1] "
+        "|| chr(31) || t[i+2] for i in generate_series(1, len(t) - 2)]) "
+        "AS shingle FROM tok), "
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c "
+        "FROM sh x JOIN sh y ON x.shingle = y.shingle "
+        "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "j AS (SELECT i.a, i.b, i.c * 1.0 / (sa.n + sb.n - i.c) AS jac "
+        "FROM inter i JOIN sz sa ON i.a = sa.doc_id "
+        "JOIN sz sb ON i.b = sb.doc_id) "
+        f"SELECT a, b, ROUND(jac + 1e-9, {_R}) AS jaccard FROM j "
+        "WHERE jac >= 0.7 ORDER BY a, b"),
+    "term_topk_documents": (
+        "WITH tok AS (SELECT unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS term FROM documents) "
+        "SELECT term, COUNT(*) AS n FROM tok GROUP BY term "
+        "ORDER BY n DESC, term LIMIT 25"),
     "embedding_dup_pairs": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "ROUND((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -63,6 +63,36 @@ def test_minhash_exact_dup_jaccard_one(docs_with_dups):
     assert vdf.loc[(2, 22), "jaccard"] > 0.8
 
 
+def test_jaccard_dup_pairs_exact(docs_with_dups):
+    """Exact inverted-index Jaccard vs python-set ground truth on the
+    planted fixture, plus the max_rows guard."""
+    from data_profiler_ray.functions.dedup import jaccard_dup_pairs
+    tbl, _ = docs_with_dups
+    ds = ray.data.from_arrow(tbl)
+    out = jaccard_dup_pairs(ds, threshold=0.5, k=3)
+    got = {(a, b): j for a, b, j in zip(out["a"].to_pylist(),
+                                        out["b"].to_pylist(),
+                                        out["jaccard"].to_pylist())}
+    # python-set oracle over every pair
+    texts = tbl["text"].to_pylist()
+    shset = [{tuple(t.lower().split()[i:i + 3])
+              for i in range(len(t.split()) - 2)} for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(shset[i] & shset[j])
+            if inter:
+                jac = inter / (len(shset[i]) + len(shset[j]) - inter)
+                if jac >= 0.5:
+                    want[(i, j)] = jac
+    assert got.keys() == want.keys()
+    for k_ in got:
+        assert abs(got[k_] - want[k_]) < 1e-12
+    assert got[(0, 20)] == 1.0 and got[(1, 21)] == 1.0
+    with pytest.raises(ValueError, match="minhash_dedup"):
+        jaccard_dup_pairs(ds, max_rows=5)
+
+
 def test_simhash_candidates(docs_with_dups):
     tbl, expect = docs_with_dups
     ds = ray.data.from_arrow(tbl)
