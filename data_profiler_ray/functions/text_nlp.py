@@ -57,30 +57,45 @@ def clean_text_batch(batch: pa.Table, text_col: str = "text",
     ``lang`` selects the stopword list AND the normalizer: Porter for
     English, Snowball German, light stemmers for fr/es/it/pt
     (functions/stemmer_i18n.py — the reference runs NLTK Snowball per
-    detected language, text/profiler.py:337-341). ``mode="lemma"`` swaps
-    in the English lemmatizer (functions/lemmatizer.py, the simplemma
-    analogue of text/profiler.py:343-365); non-English lemma falls back
-    to that language's stemmer.
+    detected language, text/profiler.py:337-341). ``lang="auto"`` detects
+    the language PER DOCUMENT first (the stopword-hit heuristic of
+    language_id_batch) and cleans each with its own stopwords + stemmer —
+    the reference's detect-then-stem flow (text/profiler.py:283-341).
+    ``mode="lemma"`` swaps in the English lemmatizer
+    (functions/lemmatizer.py, the simplemma analogue of
+    text/profiler.py:343-365); non-English lemma falls back to that
+    language's stemmer.
     """
     from .stemmer_i18n import stem_token
     text = batch.column(text_col)
+    if lang == "auto":
+        from .text import language_id_batch
+        doc_langs = language_id_batch(
+            pa.table({"text": text}))["lang_pred"].to_pylist()
+    else:
+        doc_langs = None
     norm = pc.replace_substring_regex(text, r"-", " ")
     # RE2's \w is ASCII-only — use unicode classes so accented letters
     # (häuser, canción) survive the punctuation strip
     norm = pc.replace_substring_regex(norm, r"[^\p{L}\p{N}_\s']", "")
     norm = pc.utf8_lower(norm)
-    stop = _LANG_STOPWORDS.get(lang, _LANG_STOPWORDS["en"])
-    if mode == "lemma" and lang == "en":
-        from .lemmatizer import lemmatize as _norm_tok
-    else:
-        def _norm_tok(t, _lang=lang):
-            return stem_token(t, _lang)
+
+    def _norm_tok(t: str, lg: str) -> str:
+        if mode == "lemma" and lg == "en":
+            from .lemmatizer import lemmatize
+            return lemmatize(t)
+        return stem_token(t, lg)
+
     out = []
-    for v in norm.to_pylist():
+    for i, v in enumerate(norm.to_pylist()):
         if v is None:
             out.append(None)
             continue
-        out.append(" ".join(_norm_tok(t) for t in v.split()
+        lg = doc_langs[i] if doc_langs is not None else lang
+        if lg not in _LANG_STOPWORDS:
+            lg = "en"
+        stop = _LANG_STOPWORDS[lg]
+        out.append(" ".join(_norm_tok(t, lg) for t in v.split()
                             if t not in stop))
     from .text import _set_column
     return _set_column(batch, "text_clean", pa.array(out, pa.string()))

@@ -104,6 +104,14 @@ def _merge_states(blobs: list[bytes]) -> tuple[int, dict[str, ColumnAccumulator]
     return total_rows, merged
 
 
+@ray.remote(num_cpus=1)
+def _merge_part_state(blobs: list[bytes]) -> tuple[int, bytes]:
+    """One partition's partial-state merge as a Ray task (fan-out across
+    parts — removes the serial driver merge, see profile_partials_by_part)."""
+    rows, accs = _merge_states(blobs)
+    return rows, dumps_state((rows, accs))
+
+
 def _merge_group(batch: pa.Table) -> pa.Table:
     rows, merged = _merge_states(batch.column("state").to_pylist())
     payload = dumps_state((rows, merged))
@@ -145,6 +153,20 @@ def profile_partials_by_part(ds: "ray.data.Dataset", config: ProfileConfig,
                                      b.column("state").to_pylist()):
             blobs_by_part.setdefault(part, []).append((nrows, blob))
     parts = sorted(blobs_by_part)
+    # Ray's read-stage block splitting (e.g. ReadParquet->SplitBlocks(4))
+    # gives each part SEVERAL partials; the unpickle+merge+repickle of
+    # every part on the driver is serial time that taxes high-CPU runs
+    # hardest (measured ~11 s of the 28 s profile stage at 4M turns /
+    # 8 cpus — a direct scaling-efficiency loss). Multi-partial parts are
+    # merged in PARALLEL Ray tasks instead; 1-partial parts pass through
+    # untouched as before.
+    import ray as _ray
+    futures: dict[str, "_ray.ObjectRef"] = {}
+    for p in parts:
+        entries = blobs_by_part[p]
+        if len(entries) > 1:
+            futures[p] = _merge_part_state.remote([e[1] for e in entries])
+    merged = dict(zip(futures, _ray.get(list(futures.values()))))
     rows_out, state_out = [], []
     for p in parts:
         entries = blobs_by_part[p]
@@ -152,9 +174,9 @@ def profile_partials_by_part(ds: "ray.data.Dataset", config: ProfileConfig,
             rows_out.append(entries[0][0])
             state_out.append(entries[0][1])
         else:
-            rows, accs = _merge_states([e[1] for e in entries])
+            rows, blob = merged[p]
             rows_out.append(rows)
-            state_out.append(dumps_state((rows, accs)))
+            state_out.append(blob)
     return pa.table({
         "part": pa.array(parts, pa.string()),
         "rows": pa.array(rows_out, pa.int64()),

@@ -83,3 +83,17 @@ def test_clean_text_batch_lang_dispatch():
     out2 = clean_text_batch(tbl2, mode="lemma")["text_clean"].to_pylist()[0]
     toks2 = out2.split()
     assert "child" in toks2 and "be" in toks2 and "run" in toks2
+
+
+def test_clean_text_batch_auto_detects_per_document():
+    """lang='auto' cleans each doc with ITS OWN detected language — the
+    reference's detect-then-stem flow (text/profiler.py:283-341)."""
+    from data_profiler_ray.functions.text_nlp import clean_text_batch
+    tbl = pa.table({"text": pa.array([
+        "the houses are not in the same street as the others were",
+        "die schönes häuser bleiben wichtig und die anderen sind das auch",
+    ])})
+    out = clean_text_batch(tbl, lang="auto")["text_clean"].to_pylist()
+    en, de = out[0].split(), out[1].split()
+    assert "the" not in en and "hous" in en        # English stopwords+Porter
+    assert "die" not in de and "schon" in de       # German stopwords+Snowball
