@@ -299,11 +299,32 @@ def scaling():
       engine's efficiency can be read against what the hardware allowed
       in the same window."""
     hw_before = _hw_ceiling()
-    pair_runs = []
-    for _ in range(3):
+    # steal-aware pair acceptance: steal_frac > STEAL_MAX in either timed
+    # window means the hypervisor withheld the vCPUs during the
+    # measurement (this box shows 7-20 % steal bursts; in those windows
+    # even the no-Ray multiprocessing ceiling stops scaling). Such a pair
+    # measures the HOST, not the engine, so it is re-measured — bounded
+    # retries, and every raw attempt is recorded in ``all_attempts`` so
+    # nothing is silently discarded.
+    steal_max = float(os.environ.get("SCALING_STEAL_MAX", "0.05"))
+    max_attempts = 6
+    pair_runs, all_attempts = [], []
+    attempts = 0
+    while len(pair_runs) < 3 and attempts < max_attempts:
+        attempts += 1
         r_n = _run_scaling_worker(2)
         r_4n = _run_scaling_worker(8)
-        pair_runs.append((r_n, r_4n))
+        contended = max(r_n.get("steal_frac", 0),
+                        r_4n.get("steal_frac", 0)) > steal_max
+        all_attempts.append({
+            "t_n_sec": round(r_n["seconds"], 3),
+            "t_4n_sec": round(r_4n["seconds"], 3),
+            "efficiency": round(r_n["seconds"] / r_4n["seconds"] / 4.0, 3),
+            "steal_n": round(r_n.get("steal_frac", 0), 3),
+            "steal_4n": round(r_4n.get("steal_frac", 0), 3),
+            "accepted": not contended})
+        if not contended or attempts >= max_attempts:
+            pair_runs.append((r_n, r_4n))
     r8 = pair_runs[-1][1]
     r32 = _run_scaling_worker(32)
 
@@ -335,6 +356,8 @@ def scaling():
             "8": [round(b["turns_per_sec"], 1) for _, b in pair_runs],
             "32": round(r32["turns_per_sec"], 1)},
         "bench_turns": SCALING_TURNS,
+        "steal_max": steal_max,
+        "all_attempts": all_attempts,
         "hw_ceiling_before": hw_before,
         "hw_ceiling_after": _hw_ceiling(),
     }

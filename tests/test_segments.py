@@ -161,3 +161,33 @@ def test_asof_join_partitioned_vs_pandas_merge_asof():
     # the planted equal-ts row matched inclusively
     assert out.loc[out["payload"] == 0, "rate_asof"].iloc[0] == \
         right.loc[0, "rate"]
+
+
+def test_asof_join_partitioned_empty_right():
+    """An empty right side yields all-null value columns, one row per
+    left row (ASOF LEFT semantics)."""
+    import pyarrow as pa
+
+    from data_profiler_ray.functions.joins import asof_join_partitioned
+    left = pd.DataFrame({"key": [1, 1, 2], "ts": [10, 20, 30],
+                         "payload": [0, 1, 2]})
+    right = pa.table({"key": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.int64()),
+                      "rate": pa.array([], pa.float64())})
+    out = _collect(asof_join_partitioned(
+        ray.data.from_pandas(left), ray.data.from_arrow(right),
+        by="key", on="ts", value_cols=["rate"], width=2))
+    assert len(out) == 3
+    assert out["rate_asof"].isna().all()
+
+
+def test_jaccard_dup_pairs_no_pairs():
+    """Disjoint docs → empty result with the right schema."""
+    import pyarrow as pa
+
+    from data_profiler_ray.functions.dedup import jaccard_dup_pairs
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a b c d e", "v w x y z"])})
+    out = jaccard_dup_pairs(ray.data.from_arrow(tbl), threshold=0.1)
+    assert out.num_rows == 0
+    assert out.column_names == ["a", "b", "jaccard"]
