@@ -14,8 +14,14 @@
 - ``rolling_window``: per-key ordered trailing-window aggregate, also on
   the sorted-segment path — direct per-window sums (``np.convolve`` +
   vectorized head fix) instead of per-group Python (r2 item 1).
+- ``range_join_broadcast``: interval (range) join against a SMALL
+  interval table — the intervals broadcast once per task, each left row
+  matched to every containing interval (1-to-many) with one vectorized
+  comparison matrix per batch. For a large interval side the scale path
+  is interval partitioning (split intervals into disjoint buckets, hash
+  both sides on bucket) — not implemented; documented assumption.
 
-Both document the reference-gap: the reference performs no relational joins
+All document the reference-gap: the reference performs no relational joins
 at all (SURVEY.md §2.4).
 """
 
@@ -223,3 +229,52 @@ def rolling_window(ds: "ray.data.Dataset", by: str, order_cols: list[str],
             out_col, pa.array(val, pa.float64()))
 
     return sorted_segment_map(ds, by, order_cols, block, out_schema)
+
+
+def range_join_broadcast(left: "ray.data.Dataset", intervals: pa.Table,
+                         value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         inclusive: str = "both",
+                         concurrency=None) -> "ray.data.Dataset":
+    """Interval (range) join: each left row joins EVERY interval row whose
+    ``[lo, hi]`` contains ``left[value_col]`` (1-to-many; rows matching no
+    interval are dropped, INNER semantics — SQL ``JOIN ON v BETWEEN lo AND
+    hi``).
+
+    The interval table is broadcast ONCE via ``ray.put`` and each batch
+    does one vectorized (batch × intervals) containment matrix — correct
+    when intervals are a small dimension table (tiers, bands, buckets).
+    ``inclusive``: 'both' (BETWEEN), 'left' ([lo, hi)), 'right' ((lo, hi]),
+    'neither'.
+    """
+    ref = ray.put(intervals)
+
+    class _RangeJoin:
+        def __init__(self):
+            tbl = ray.get(ref)
+            self.lo = tbl.column(lo_col).to_numpy(zero_copy_only=False
+                                                  ).astype(np.float64)
+            self.hi = tbl.column(hi_col).to_numpy(zero_copy_only=False
+                                                  ).astype(np.float64)
+            self.extra = tbl.drop_columns([lo_col, hi_col])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)[:, None]
+            ge = v >= self.lo if inclusive in ("both", "left") \
+                else v > self.lo
+            le = v <= self.hi if inclusive in ("both", "right") \
+                else v < self.hi
+            rows, ivals = np.nonzero(ge & le)
+            out = batch.take(pa.array(rows))
+            take_iv = pa.array(ivals)
+            for f in self.extra.schema:
+                out = out.append_column(
+                    f.name, self.extra.column(f.name).take(take_iv))
+            out = out.append_column(
+                lo_col, pa.array(self.lo[ivals], pa.float64()))
+            return out.append_column(
+                hi_col, pa.array(self.hi[ivals], pa.float64()))
+
+    return left.map_batches(_RangeJoin, batch_format="pyarrow",
+                            concurrency=concurrency or (1, 8))

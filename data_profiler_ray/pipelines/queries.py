@@ -634,6 +634,68 @@ def referential_orders_customers(sf_dir: str) -> pa.Table:
     return pa.table({"n_dangling": pa.array([total], pa.int64())})
 
 
+_PRICE_TIERS = [("high", 250_000.0, 10_000_000.0),
+                ("low", 0.0, 100_000.0),
+                ("mid", 50_000.0, 300_000.0)]
+
+
+def price_tier_orders(sf_dir: str) -> pa.Table:
+    """Range (interval) join custom op: each order joins every OVERLAPPING
+    price tier containing o_totalprice (1-to-many) — broadcast interval
+    table, vectorized containment per batch (functions/joins.py:
+    range_join_broadcast; reference gap, SURVEY.md §2.4)."""
+    from ..functions.joins import range_join_broadcast
+    tiers = pa.table({
+        "tier": pa.array([t for t, _, _ in _PRICE_TIERS]),
+        "lo": pa.array([lo for _, lo, _ in _PRICE_TIERS], pa.float64()),
+        "hi": pa.array([hi for _, _, hi in _PRICE_TIERS], pa.float64())})
+    ds = _read(sf_dir, "orders").select_columns(["o_orderkey",
+                                                 "o_totalprice"])
+    out = _tbl(range_join_broadcast(ds, tiers, "o_totalprice"))
+    res = pa.table({"o_orderkey": out.column("o_orderkey").cast(pa.int64()),
+                    "tier": out.column("tier").cast(pa.string())})
+    return res.take(pc.sort_indices(res, sort_keys=[
+        ("o_orderkey", "ascending"), ("tier", "ascending")]))
+
+
+_LAG_SCHEMA = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("value_diff", pa.float64())])
+
+
+def _lag_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+               ) -> pa.Table:
+    """value − LAG(value) per user segment (sorted by (user, ts,
+    event_id)); null at each segment's first row."""
+    lo, hi = int(starts[0]), int(ends[-1])
+    val = batch.column("value").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    diff = np.full(val.size, np.nan)
+    diff[1:] = val[1:] - val[:-1]
+    diff[starts] = np.nan
+    d = diff[lo:hi]
+    return pa.table({
+        "event_id": batch.slice(lo, hi - lo).column("event_id")
+        .cast(pa.int64()),
+        "user_id": batch.slice(lo, hi - lo).column("user_id")
+        .cast(pa.int64()),
+        "value_diff": pa.array(np.where(np.isnan(d), None, _round(d)),
+                               pa.float64(), from_pandas=True),
+    }, schema=_LAG_SCHEMA)
+
+
+def lag_diff_events(sf_dir: str) -> pa.Table:
+    """LAG window function (value − previous value per user along (ts,
+    event_id)) on the sorted-segment path — the O-family window op the
+    reference lacks."""
+    from ..stages.segments import sorted_segment_map
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+    out = _tbl(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
+                                  _lag_block, _LAG_SCHEMA))
+    return out.take(pc.sort_indices(out, sort_keys=[("event_id",
+                                                     "ascending")]))
+
+
 def drift_events_value(sf_dir: str) -> pa.Table:
     """Drift as a graded query (r2 item 9 → VERDICT next-round item 8):
     PSI + binned-KS of the odd-event_id half of ``events.value`` against
@@ -903,6 +965,8 @@ QUERIES = {
     "rolling_avg_events": rolling_avg_events,
     "asof_price_events": asof_price_events,
     "asof_purchase_events": asof_purchase_events,
+    "price_tier_orders": price_tier_orders,
+    "lag_diff_events": lag_diff_events,
     "split_documents": split_documents,
     "referential_orders_customers": referential_orders_customers,
     "drift_events_value": drift_events_value,
@@ -1076,6 +1140,17 @@ ORACLE_SQL = {
     "referential_orders_customers": (
         "SELECT COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS n_dangling "
         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"),
+    "price_tier_orders": (
+        "SELECT o.o_orderkey, t.tier FROM orders o JOIN (VALUES "
+        + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_TIERS)
+        + ") AS t(tier, lo, hi) "
+        "ON o.o_totalprice BETWEEN t.lo AND t.hi "
+        "ORDER BY o.o_orderkey, t.tier"),
+    "lag_diff_events": (
+        "SELECT event_id, user_id, "
+        f"ROUND((value - LAG(value) OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id)) + 1e-9, {_R}) AS value_diff "
+        "FROM events ORDER BY event_id"),
     # drift: even event_ids = baseline, odd = current; fixed 10 equal-width
     # bins over the global min/max plus the engine's under/overflow pad bins
     # (always 0 here, but they enter the ε-clipped PSI normalization exactly

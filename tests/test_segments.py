@@ -191,3 +191,20 @@ def test_jaccard_dup_pairs_no_pairs():
     out = jaccard_dup_pairs(ray.data.from_arrow(tbl), threshold=0.1)
     assert out.num_rows == 0
     assert out.column_names == ["a", "b", "jaccard"]
+
+
+def test_range_join_broadcast_overlap_and_bounds():
+    """1-to-many interval join: overlapping tiers, inclusive bounds, rows
+    matching nothing dropped (INNER)."""
+    import pyarrow as pa
+
+    from data_profiler_ray.functions.joins import range_join_broadcast
+    left = pd.DataFrame({"id": [0, 1, 2, 3], "v": [5.0, 10.0, 25.0, 99.0]})
+    tiers = pa.table({"tier": ["a", "b"],
+                      "lo": pa.array([0.0, 10.0], pa.float64()),
+                      "hi": pa.array([10.0, 30.0], pa.float64())})
+    out = _collect(range_join_broadcast(
+        ray.data.from_pandas(left), tiers, "v"))
+    got = sorted(zip(out["id"], out["tier"]))
+    # v=10 hits BOTH tiers (inclusive both ends); v=99 hits none
+    assert got == [(0, "a"), (1, "a"), (1, "b"), (2, "b")]
