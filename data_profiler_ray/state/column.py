@@ -135,8 +135,12 @@ class _DistinctMixin:
         # — the object-array path is a last resort (decimals etc.)
         t = vals_arr.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
-            from ..functions.text import hash_string_array
-            h = hash_string_array(vals_arr)
+            # word-level variant: ~8× fewer polynomial elements; this hash
+            # only keys the HLL and the long-key compression, so it does
+            # not need the byte-level value the fingerprint/shingle paths
+            # share
+            from ..functions.text import hash_string_array_words
+            h = hash_string_array_words(vals_arr)
         else:
             try:
                 h = hash64(vals_arr.to_numpy(zero_copy_only=False))
