@@ -31,7 +31,12 @@ BENCH_SHARDS = int(os.environ.get("BENCH_SHARDS", "64"))
 # scaling runs use a larger input so per-block compute dominates the fixed
 # coordination path (sort sampling, driver checkpoint writes) — the sandbox
 # analogue of "a cluster-size criterion is measured at cluster-scale data"
-SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "4000000"))
+# 8M: at 4M the engine's ~7 s fixed coordination (sort planning, driver
+# checkpoint writes, stage ramp) is ~25 % of the 8-cpu wall after the
+# round-3 speedups — the efficiency criterion then measures Amdahl
+# overhead, not compute scaling. Fixed cost solved from clean pairs:
+# F = (4·T8 − T2)/3 ≈ 7 s.
+SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "8000000"))
 SCALING_SHARDS = int(os.environ.get("SCALING_SHARDS", "64"))
 # median-of-N per pipeline: this virtualized box shows ±50% wall noise
 # between same-day runs (BASELINE.md); a single sample is a lottery ticket
