@@ -208,3 +208,40 @@ def test_range_join_broadcast_overlap_and_bounds():
     got = sorted(zip(out["id"], out["tier"]))
     # v=10 hits BOTH tiers (inclusive both ends); v=99 hits none
     assert got == [(0, "a"), (1, "a"), (1, "b"), (2, "b")]
+
+
+def test_sorted_segment_map_executes_upstream_once(tmp_path):
+    """Regression: size_bytes() probing must not re-execute the upstream
+    plan (the lazy-probe double-execution cost 3x wall on the 200k
+    embedding bench). The tagged stage counts the rows it processes via
+    side-effect files; a double execution would double the sum."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    marker = tmp_path / "calls"
+    marker.mkdir()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        (marker / uuid.uuid4().hex).write_text(str(batch.num_rows))
+        return batch
+
+    ds = (ray.data.range(10_000, override_num_blocks=4)
+          .map_batches(lambda b: pa.table(
+              {"k": pa.array((b.column("id").to_numpy() % 50)),
+               "v": b.column("id")}), batch_format="pyarrow")
+          .map_batches(tag, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def block(batch, starts, ends):
+        return pa.table({
+            "k": batch.column("k").take(pa.array(starts)).cast(pa.int64()),
+            "n": pa.array(ends - starts, pa.int64())}, schema=out_schema)
+
+    from data_profiler_ray.stages.segments import sorted_segment_map
+    res = _collect(sorted_segment_map(ds, "k", ["v"], block, out_schema))
+    assert res["n"].sum() == 10_000
+    processed = sum(int(f.read_text()) for f in marker.iterdir())
+    assert processed == 10_000, f"upstream executed {processed/10_000:.1f}x"
