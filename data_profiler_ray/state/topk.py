@@ -30,9 +30,21 @@ class TopKCounter:
         self.decremented = 0    # total weight removed by MG decrements
 
     def update_counts(self, values, counts) -> None:
-        for v, c in zip(values, counts):
-            self.counts[v] += int(c)
-            self.total += int(c)
+        """Fold a (unique values, counts) pair-list in.
+
+        Callers pass ``value_counts`` output, so keys are unique within a
+        call — the fold is a C-level ``dict(zip(...))`` build (empty
+        counter, the common one-fold-per-block case) or a ``Counter.update``
+        mapping merge, not a per-item Python loop.
+        """
+        import numpy as _np
+        cl = (counts.tolist() if isinstance(counts, _np.ndarray)
+              else [int(c) for c in counts])
+        self.total += sum(cl)
+        if self.counts:
+            self.counts.update(dict(zip(values, cl)))
+        else:
+            self.counts = Counter(dict(zip(values, cl)))
         self._shrink()
 
     def merge(self, other: "TopKCounter") -> None:
