@@ -343,7 +343,7 @@ def test_frame_sampler():
 
 def test_language_id_labeled_accuracy():
     """Mini confusion-matrix check on labeled sentences: ≥90% accuracy over
-    the ten supported languages, no language hijacks another's sentences.
+    the fourteen supported languages, no language hijacks another's sentences.
     (The synthetic documents.lang column is uncorrelated with its
     English-ish text, so the labeled fixture lives here; exact parity of
     the heuristic itself is covered by the language_id_documents oracle.)"""
@@ -372,6 +372,22 @@ def test_language_id_labeled_accuracy():
                "har set os"),
         ("da", "jeg har ikke set hende men det er godt at hun var der "
                "og ikke han"),
+        ("fi", "ja se on niin että hän ei ole mutta kun tämä oli myös "
+               "vain siellä"),
+        ("fi", "hän oli siellä kun se ei ole niin mutta myös tämä on "
+               "vain joka päivä"),
+        ("tr", "bu bir ev ve ben sen ile çok daha ama ne var yok gibi "
+               "değil şimdi"),
+        ("tr", "ben bu şehir için bir gün daha ve çok ama ne gibi var "
+               "yok ile sen"),
+        ("cs", "to je tak že se na ale už není co když byl jsem nebo "
+               "jako dnes"),
+        ("cs", "on byl na to že se je ale co už tak nebo když jsou "
+               "jako včera"),
+        ("ro", "și nu este cu mai la care dar din pentru sunt fost sau "
+               "când acolo"),
+        ("ro", "el este la oraș cu un prieten dar nu mai care din "
+               "pentru când vine"),
         ("en", "the cat sat on the mat and it was warm in the sun"),
         ("en", "this is a test of the system and it should be fine"),
         ("en", "we went to the park for a walk with the dog"),
