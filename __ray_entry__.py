@@ -52,5 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from data_profiler_ray.pipelines.queries import ORACLE_SQL
+    from data_profiler_ray.pipelines.queries import ORACLE_SQL, _tv_fixture
+    # the transcript oracle reads the deterministic synthetic fixture by
+    # absolute path; materialize it here (cached, pure numpy — no Ray) so
+    # the SQL runs even if the driver executes oracles before queries
+    _tv_fixture()
     return dict(ORACLE_SQL)

@@ -910,21 +910,35 @@ def quality_scores_documents(sf_dir: str) -> pa.Table:
 # transcript fixture regardless of sf_dir)
 
 
+# the flagship fixture: deterministic synthetic transcripts with every
+# violation kind injected at a known seeded rate (synthetic.py F1)
+_TV_N_TURNS = 20000
+_TV_SEED = 42
+_TV_KNOBS = dict(dup_frac=0.01, gap_frac=0.005, bad_role_frac=0.01,
+                 ts_regression_frac=0.005, dangling_tool_frac=0.2)
+
+
+def _tv_fixture() -> str:
+    from ..synthetic import transcripts_path
+    return transcripts_path(_TV_N_TURNS, seed=_TV_SEED, **_TV_KNOBS)
+
+
+def _run_tv_validation(out: str) -> dict:
+    from ..config import ConstraintConfig, ValidationConfig
+    from ..pipelines.validate import run_validation
+    from ..synthetic import TOOL_REGISTRY
+    cfg = ValidationConfig(
+        constraints=ConstraintConfig(tool_registry=TOOL_REGISTRY),
+        output_dir=out)
+    return run_validation(_tv_fixture(), cfg)
+
+
 def transcript_validation(sf_dir: str) -> pa.Table:
     import shutil
     import tempfile
-    from ..config import ConstraintConfig, ValidationConfig
-    from ..pipelines.validate import run_validation
-    from ..synthetic import TOOL_REGISTRY, transcripts_path
-    tdir = transcripts_path(20000, seed=42, dup_frac=0.01, gap_frac=0.005,
-                            bad_role_frac=0.01, ts_regression_frac=0.005,
-                            dangling_tool_frac=0.2)
     out = tempfile.mkdtemp(prefix="dpr_q_")
     try:
-        cfg = ValidationConfig(
-            constraints=ConstraintConfig(tool_registry=TOOL_REGISTRY),
-            output_dir=out)
-        s = run_validation(tdir, cfg)
+        s = _run_tv_validation(out)
         rows = [{
             "parts_total": s["parts_total"],
             "total_rows": s["total_rows"],
@@ -934,6 +948,43 @@ def transcript_validation(sf_dir: str) -> pa.Table:
             "passed": s["passed"],
         }]
         return pa.Table.from_pylist(rows)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def transcript_violation_counts(sf_dir: str) -> pa.Table:
+    """Flagship ORACLED (r3 verdict item 1): run the full validation
+    pipeline (profile + constraints + worker-side verdict/violation writes +
+    checkpoints) over the synthetic violation-injected transcript fixture,
+    then roll the per-conversation verdict table up to exact per-kind
+    violation totals — every count SQL-expressible over the same fixture
+    parquet (dup keys = GROUP BY HAVING, gaps = distinct-vs-range set diff,
+    regressions = LAG, roles/tools = domain anti-membership)."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    out = tempfile.mkdtemp(prefix="dpr_q_")
+    try:
+        _run_tv_validation(out)
+        files = sorted(_glob.glob(
+            _os.path.join(out, "parts", "*", "verdicts", "*.parquet")))
+        import pyarrow.parquet as _pq
+        v = pa.concat_tables([_pq.read_table(f) for f in files])
+        def _s(col):
+            return int(pc.sum(v.column(col)).as_py() or 0)
+        return pa.table({
+            "n_conversations": pa.array([v.num_rows], pa.int64()),
+            "n_turns": pa.array([_s("n_turns")], pa.int64()),
+            "n_failed_conversations": pa.array(
+                [int(pc.sum(pc.cast(pc.invert(v.column("passed")),
+                                    pa.int64())).as_py() or 0)], pa.int64()),
+            "n_duplicate_key": pa.array([_s("n_duplicate_key")], pa.int64()),
+            "n_turn_gap": pa.array([_s("n_turn_gap")], pa.int64()),
+            "n_ts_regression": pa.array([_s("n_ts_regression")], pa.int64()),
+            "n_bad_role": pa.array([_s("n_bad_role")], pa.int64()),
+            "n_dangling_tool": pa.array([_s("n_dangling_tool")], pa.int64()),
+        })
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -985,6 +1036,7 @@ QUERIES = {
     "language_id_documents": language_id_documents,
     "quality_scores_documents": quality_scores_documents,
     "transcript_validation": transcript_validation,
+    "transcript_violation_counts": transcript_violation_counts,
 }
 
 
@@ -1025,7 +1077,58 @@ def _langid_sql() -> str:
         "FROM s ORDER BY doc_id")
 
 
+def _transcript_counts_sql() -> str:
+    """DuckDB replica of the per-kind verdict tallies over the RAW fixture
+    parquet (constraints semantics, stages/constraints.py:_check_conversation):
+
+    - duplicate_key: extra rows per (conv, turn) group = SUM(cnt-1);
+    - turn_gap: |setdiff(0..d-1, uniq)| + |setdiff(uniq, 0..d-1)| where d =
+      COUNT(DISTINCT turn_idx) — the two setdiffs have EQUAL size (both are
+      d − |uniq ∩ [0,d)|), so n_gap = 2·(d − c);
+    - ts_regression: ts < LAG(ts) ordered by turn_idx (tie rows are full-row
+      duplicates in this fixture, so tie order cannot change the count);
+    - bad_role / dangling_tool: non-null domain anti-membership.
+
+    The fixture path is deterministic (synthetic.transcripts_dir); the
+    engine query and ``__ray_entry__.oracle_sql()`` both materialize it."""
+    from ..synthetic import ROLE_DOMAIN, TOOL_REGISTRY, transcripts_dir
+    tdir = transcripts_dir(_TV_N_TURNS, seed=_TV_SEED, **_TV_KNOBS)
+    roles = ", ".join(f"'{r}'" for r in sorted(ROLE_DOMAIN))
+    tools = ", ".join(f"'{t}'" for t in sorted(TOOL_REGISTRY))
+    return (
+        f"WITH t AS (SELECT * FROM read_parquet('{tdir}/part-*.parquet')), "
+        "u AS (SELECT DISTINCT conv_id, turn_idx FROM t), "
+        "g AS (SELECT conv_id, COUNT(*) AS d FROM u GROUP BY 1), "
+        "c AS (SELECT u.conv_id, COUNT(*) AS c FROM u JOIN g USING (conv_id) "
+        "WHERE u.turn_idx >= 0 AND u.turn_idx < g.d GROUP BY 1), "
+        "dup AS (SELECT conv_id, SUM(cn - 1) AS v FROM (SELECT conv_id, "
+        "turn_idx, COUNT(*) AS cn FROM t GROUP BY 1, 2) GROUP BY 1), "
+        "reg AS (SELECT conv_id, SUM(CASE WHEN ts < pts THEN 1 ELSE 0 END) "
+        "AS v FROM (SELECT conv_id, ts, LAG(ts) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx) AS pts FROM t) GROUP BY 1), "
+        "rl AS (SELECT conv_id, COUNT(*) AS n, "
+        f"SUM(CASE WHEN role IS NOT NULL AND role NOT IN ({roles}) "
+        "THEN 1 ELSE 0 END) AS vrole, "
+        f"SUM(CASE WHEN tool IS NOT NULL AND tool NOT IN ({tools}) "
+        "THEN 1 ELSE 0 END) AS vtool FROM t GROUP BY 1), "
+        "per AS (SELECT g.conv_id, rl.n, COALESCE(dup.v, 0) AS ndup, "
+        "2 * (g.d - COALESCE(c.c, 0)) AS ngap, COALESCE(reg.v, 0) AS nreg, "
+        "rl.vrole, rl.vtool FROM g JOIN rl USING (conv_id) "
+        "LEFT JOIN c USING (conv_id) LEFT JOIN dup USING (conv_id) "
+        "LEFT JOIN reg USING (conv_id)) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_conversations, "
+        "CAST(SUM(n) AS BIGINT) AS n_turns, "
+        "CAST(SUM(CASE WHEN ndup + ngap + nreg + vrole + vtool > 0 THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_failed_conversations, "
+        "CAST(SUM(ndup) AS BIGINT) AS n_duplicate_key, "
+        "CAST(SUM(ngap) AS BIGINT) AS n_turn_gap, "
+        "CAST(SUM(nreg) AS BIGINT) AS n_ts_regression, "
+        "CAST(SUM(vrole) AS BIGINT) AS n_bad_role, "
+        "CAST(SUM(vtool) AS BIGINT) AS n_dangling_tool FROM per")
+
+
 ORACLE_SQL = {
+    "transcript_violation_counts": _transcript_counts_sql(),
     "profile_lineitem_stats": _PROFILE_STATS_SQL,
     "events_value_stats": (
         f"SELECT COUNT(value) AS cnt, ROUND((MIN(value)) + 1e-9, {_R}) AS min_val, "

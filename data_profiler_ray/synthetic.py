@@ -153,12 +153,19 @@ def write_transcripts(out_dir: str, n_turns: int, seed: int = 42,
     return paths
 
 
+def transcripts_dir(n_turns: int, seed: int = 42,
+                    root: str = "/tmp/dpr_transcripts", **knobs) -> str:
+    """Deterministic dataset dir for the given parameters (path only — no
+    generation; the oracle SQL embeds this path before the data may exist)."""
+    key = f"n{n_turns}_s{seed}" + "".join(
+        f"_{k}{v}" for k, v in sorted(knobs.items()) if v)
+    return os.path.join(root, key)
+
+
 def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/dpr_transcripts",
                      **knobs) -> str:
     """Cached deterministic dataset dir keyed by parameters."""
-    key = f"n{n_turns}_s{seed}" + "".join(
-        f"_{k}{v}" for k, v in sorted(knobs.items()) if v)
-    out = os.path.join(root, key)
+    out = transcripts_dir(n_turns, seed=seed, root=root, **knobs)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         write_transcripts(out, n_turns, seed=seed, **knobs)

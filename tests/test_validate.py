@@ -159,3 +159,24 @@ def test_part_output_writer_idempotent(tmp_path):
     assert row["n_conversations"] == 2
     assert row["n_failed"] == 2
     assert row["n_v_bad_role"] == 1 and row["n_v_duplicate_key"] == 1
+
+
+def test_violation_counts_match_duckdb_oracle():
+    """Flagship oracle (r3 verdict item 1): the per-kind violation totals
+    from the verdict rollup must hash-match the DuckDB recompute over the
+    raw fixture parquet — the same compare the driver runs."""
+    import duckdb
+
+    from data_profiler_ray.pipelines.queries import (
+        _transcript_counts_sql, _tv_fixture, transcript_violation_counts)
+
+    _tv_fixture()
+    got = transcript_violation_counts("unused").to_pandas()
+    exp = duckdb.connect().execute(_transcript_counts_sql()).fetchdf()
+    assert sorted(got.columns) == sorted(exp.columns)
+    got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
+    assert got.iloc[0].to_dict() == exp.iloc[0].to_dict()
+    # every injected kind is actually detected
+    for k in ("n_duplicate_key", "n_turn_gap", "n_ts_regression",
+              "n_bad_role", "n_dangling_tool"):
+        assert int(got.iloc[0][k]) > 0, k
