@@ -328,6 +328,58 @@ def _mono_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
     }, schema=_MONO_SCHEMA)
 
 
+def _np_i64(batch: pa.Table, col: str) -> np.ndarray:
+    return batch.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+class _MonoCut:
+    """Mergeable partials for the per-key ts-regression count (VERDICT r3
+    item 2): per cut piece carry (n_events, interior regressions, boundary
+    timestamps) — counts merge by sum, junctions add first_ts[i] <
+    last_ts[i-1]. o(#blocks) driver bytes for any key size."""
+
+    partial_schema = pa.schema([
+        ("user_id", pa.int64()), ("o_event", pa.int64()),
+        ("n_events", pa.int64()), ("n_reg", pa.int64()),
+        ("first_ts", pa.int64()), ("last_ts", pa.int64())])
+    sort_cols = ("user_id", "o_event")
+    emit_schema = None
+
+    def partials(self, batch, starts, ends):
+        ts = _np_i64(batch, "ts")
+        ev = _np_i64(batch, "event_id")
+        uid = _np_i64(batch, "user_id")
+        rows = {f.name: [] for f in self.partial_schema}
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            rows["user_id"].append(int(uid[s]))
+            rows["o_event"].append(int(ev[s]))
+            rows["n_events"].append(int(e - s))
+            rows["n_reg"].append(int((seg[1:] < seg[:-1]).sum()))
+            rows["first_ts"].append(int(seg[0]))
+            rows["last_ts"].append(int(seg[-1]))
+        return None, pa.table(rows, schema=self.partial_schema)
+
+    def merge(self, p: pa.Table) -> pa.Table:
+        uid = p.column("user_id").to_numpy(zero_copy_only=False)
+        n_ev = p.column("n_events").to_numpy(zero_copy_only=False)
+        n_reg = p.column("n_reg").to_numpy(zero_copy_only=False)
+        f_ts = p.column("first_ts").to_numpy(zero_copy_only=False)
+        l_ts = p.column("last_ts").to_numpy(zero_copy_only=False)
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(change)
+        junction = (~change) & (f_ts < np.r_[np.int64(0), l_ts[:-1]])
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n_ev, starts), pa.int64()),
+            "n_regressions": pa.array(
+                np.add.reduceat(n_reg + junction, starts), pa.int64()),
+        }, schema=_MONO_SCHEMA)
+
+    def adjust(self, batch, adjust_map):
+        return batch
+
+
 def ts_monotonicity_events(sf_dir: str) -> pa.Table:
     """Per-user ts-regression count along event_id order (the transcript
     monotone-ts check applied to the events table) — sorted-segment path
@@ -335,7 +387,8 @@ def ts_monotonicity_events(sf_dir: str) -> pa.Table:
     from ..stages.segments import sorted_segment_map
     ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
     return _tbl(sorted_segment_map(ds, "user_id", ["event_id"], _mono_block,
-                                   _MONO_SCHEMA)).sort_by("user_id")
+                                   _MONO_SCHEMA, cut_kernel=_MonoCut())
+                ).sort_by("user_id")
 
 
 _GAPS_SCHEMA = pa.schema([("user_id", pa.int64()), ("n_gaps", pa.int64()),
@@ -365,6 +418,59 @@ def _gaps_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
     }, schema=_GAPS_SCHEMA)
 
 
+class _GapsCut:
+    """Mergeable partials for per-key gap stats: counts/sums telescope,
+    max merges with the junction gaps (first_ts[i] − last_ts[i−1] ≥ 0
+    because pieces are (ts, event_id)-sorted). Integer µs throughout."""
+
+    partial_schema = pa.schema([
+        ("user_id", pa.int64()), ("o_ts", pa.int64()),
+        ("o_event", pa.int64()), ("n_rows", pa.int64()),
+        ("first_ts", pa.int64()), ("last_ts", pa.int64()),
+        ("max_gap", pa.int64())])
+    sort_cols = ("user_id", "o_ts", "o_event")
+    emit_schema = None
+
+    def partials(self, batch, starts, ends):
+        ts = _np_i64(batch, "ts")
+        ev = _np_i64(batch, "event_id")
+        uid = _np_i64(batch, "user_id")
+        rows = {f.name: [] for f in self.partial_schema}
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            rows["user_id"].append(int(uid[s]))
+            rows["o_ts"].append(int(seg[0]))
+            rows["o_event"].append(int(ev[s]))
+            rows["n_rows"].append(int(e - s))
+            rows["first_ts"].append(int(seg[0]))
+            rows["last_ts"].append(int(seg[-1]))
+            rows["max_gap"].append(
+                int((seg[1:] - seg[:-1]).max()) if e - s > 1 else 0)
+        return None, pa.table(rows, schema=self.partial_schema)
+
+    def merge(self, p: pa.Table) -> pa.Table:
+        uid = p.column("user_id").to_numpy(zero_copy_only=False)
+        n = p.column("n_rows").to_numpy(zero_copy_only=False)
+        f_ts = p.column("first_ts").to_numpy(zero_copy_only=False)
+        l_ts = p.column("last_ts").to_numpy(zero_copy_only=False)
+        mg = p.column("max_gap").to_numpy(zero_copy_only=False)
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], uid.size)
+        junction = np.where(change, 0, f_ts - np.r_[np.int64(0), l_ts[:-1]])
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_gaps": pa.array(np.add.reduceat(n, starts) - 1, pa.int64()),
+            "sum_gap_us": pa.array(l_ts[ends - 1] - f_ts[starts], pa.int64()),
+            "max_gap_us": pa.array(
+                np.maximum.reduceat(np.maximum(mg, junction), starts),
+                pa.int64()),
+        }, schema=_GAPS_SCHEMA)
+
+    def adjust(self, batch, adjust_map):
+        return batch
+
+
 def user_event_gaps(sf_dir: str) -> pa.Table:
     """Per-user inter-arrival gap stats (the A14 gap-stat family applied to
     the events stream) — sorted-segment path, integer-µs arithmetic
@@ -372,7 +478,8 @@ def user_event_gaps(sf_dir: str) -> pa.Table:
     from ..stages.segments import sorted_segment_map
     ds = _read(sf_dir, "events").select_columns(["user_id", "event_id", "ts"])
     return _tbl(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
-                                   _gaps_block, _GAPS_SCHEMA)
+                                   _gaps_block, _GAPS_SCHEMA,
+                                   cut_kernel=_GapsCut())
                 ).sort_by("user_id")
 
 
@@ -475,15 +582,159 @@ def _session_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
     }, schema=_SESS_SCHEMA)
 
 
+_SESS_EMIT_SCHEMA = _SESS_SCHEMA.append(pa.field("__piece", pa.int64()))
+
+
+class _SessionCut:
+    """Mergeable partials for sessionization (VERDICT r3 item 2: "session
+    stitch needs only boundary timestamps"). Each cut piece emits its
+    STRICTLY INTERIOR sessions distributed (local ordinals, fixed up by a
+    per-piece offset in ``adjust``) and carries only its first/last session
+    summaries + counts — o(#blocks) driver state, while session ordinals
+    and boundary-session merges stay exact across any number of pieces."""
+
+    partial_schema = pa.schema([
+        ("user_id", pa.int64()), ("o_ts", pa.int64()),
+        ("o_event", pa.int64()), ("piece", pa.int64()),
+        ("k", pa.int64()),
+        ("fs_start", pa.int64()), ("fs_end", pa.int64()),
+        ("fs_n", pa.int64()), ("fs_sum", pa.float64()),
+        ("ls_start", pa.int64()), ("ls_end", pa.int64()),
+        ("ls_n", pa.int64()), ("ls_sum", pa.float64())])
+    sort_cols = ("user_id", "o_ts", "o_event")
+    emit_schema = _SESS_EMIT_SCHEMA
+
+    def partials(self, batch, starts, ends):
+        from ..stages.segments import segment_reduce
+        ts = _np_i64(batch, "ts")
+        ev = _np_i64(batch, "event_id")
+        uid = _np_i64(batch, "user_id")
+        val = batch.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        prows = {f.name: [] for f in self.partial_schema}
+        emits: list[pa.Table] = []
+        for s, e in zip(starts, ends):
+            tseg = ts[s:e]
+            new = np.zeros(tseg.size, dtype=bool)
+            new[0] = True
+            new[1:] = (tseg[1:] - tseg[:-1]) > SESSION_GAP_US
+            s_starts = np.flatnonzero(new) + s
+            s_ends = np.append(s_starts[1:], e)
+            k = s_starts.size
+            n_ev = s_ends - s_starts
+            sums = segment_reduce(val[s:e], s_starts - s, int(e - s))
+            prows["user_id"].append(int(uid[s]))
+            prows["o_ts"].append(int(tseg[0]))
+            prows["o_event"].append(int(ev[s]))
+            prows["piece"].append(int(ev[s]))  # unique per piece (event_id)
+            prows["k"].append(int(k))
+            prows["fs_start"].append(int(ts[s_starts[0]]))
+            prows["fs_end"].append(int(ts[s_ends[0] - 1]))
+            prows["fs_n"].append(int(n_ev[0]))
+            prows["fs_sum"].append(float(sums[0]))
+            prows["ls_start"].append(int(ts[s_starts[-1]]))
+            prows["ls_end"].append(int(ts[s_ends[-1] - 1]))
+            prows["ls_n"].append(int(n_ev[-1]))
+            prows["ls_sum"].append(float(sums[-1]))
+            if k > 2:  # interior sessions: local ordinals 2..k-1
+                sl = slice(1, k - 1)
+                emits.append(pa.table({
+                    "user_id": pa.array(
+                        np.full(k - 2, uid[s]), pa.int64()),
+                    "session_id": pa.array(
+                        np.arange(2, k, dtype=np.int64), pa.int64()),
+                    "n_events": pa.array(n_ev[sl], pa.int64()),
+                    "session_start_us": pa.array(ts[s_starts[sl]],
+                                                 pa.int64()),
+                    "session_end_us": pa.array(ts[s_ends[sl] - 1],
+                                               pa.int64()),
+                    "sum_value": pa.array(sums[sl], pa.float64()),
+                    "__piece": pa.array(
+                        np.full(k - 2, ev[s]), pa.int64()),
+                }, schema=_SESS_EMIT_SCHEMA))
+        emit = pa.concat_tables(emits) if emits else None
+        return emit, pa.table(prows, schema=self.partial_schema)
+
+    def merge(self, p: pa.Table):
+        cols = {f.name: p.column(f.name).to_numpy(zero_copy_only=False)
+                for f in self.partial_schema}
+        uid = cols["user_id"]
+        out = {"user_id": [], "session_id": [], "n_events": [],
+               "session_start_us": [], "session_end_us": [], "sum_value": []}
+        adjust: dict[int, int] = {}
+
+        def _emit(u, o, st):
+            out["user_id"].append(u)
+            out["session_id"].append(o)
+            out["n_events"].append(st[2])
+            out["session_start_us"].append(st[0])
+            out["session_end_us"].append(st[1])
+            out["sum_value"].append(st[3])
+
+        open_st = None  # [start, end, n, sum]
+        open_ord = 0
+        next_ord = 1
+        prev_uid = None
+        for i in range(uid.size):
+            u = int(uid[i])
+            if u != prev_uid:
+                if open_st is not None:
+                    _emit(prev_uid, open_ord, open_st)
+                open_st, next_ord, prev_uid = None, 1, u
+            fs = [int(cols["fs_start"][i]), int(cols["fs_end"][i]),
+                  int(cols["fs_n"][i]), float(cols["fs_sum"][i])]
+            k = int(cols["k"][i])
+            if open_st is not None and fs[0] - open_st[1] <= SESSION_GAP_US:
+                open_st = [open_st[0], fs[1], open_st[2] + fs[2],
+                           open_st[3] + fs[3]]
+                first_ord = open_ord
+            else:
+                if open_st is not None:
+                    _emit(u, open_ord, open_st)
+                first_ord = next_ord
+                open_st, open_ord = fs, first_ord
+            adjust[int(cols["piece"][i])] = first_ord - 1
+            if k >= 2:
+                _emit(u, open_ord, open_st)  # first session closed in-piece
+                open_st = [int(cols["ls_start"][i]), int(cols["ls_end"][i]),
+                           int(cols["ls_n"][i]), float(cols["ls_sum"][i])]
+                open_ord = first_ord + k - 1
+                next_ord = first_ord + k
+            else:
+                next_ord = first_ord + 1
+        if open_st is not None:
+            _emit(prev_uid, open_ord, open_st)
+        tbl = pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_id": pa.array(out["session_id"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "session_start_us": pa.array(out["session_start_us"], pa.int64()),
+            "session_end_us": pa.array(out["session_end_us"], pa.int64()),
+            "sum_value": pa.array(out["sum_value"], pa.float64()),
+        }, schema=_SESS_SCHEMA)
+        return tbl, adjust
+
+    def adjust(self, batch: pa.Table, adjust_map: dict) -> pa.Table:
+        piece = batch.column("__piece").to_numpy(zero_copy_only=False)
+        offs = pd.Series(piece).map(adjust_map).fillna(0).to_numpy(np.int64)
+        sid = batch.column("session_id").to_numpy(zero_copy_only=False) + offs
+        batch = batch.set_column(
+            batch.column_names.index("session_id"), "session_id",
+            pa.array(sid, pa.int64()))
+        return batch.drop_columns(["__piece"]).select(
+            [f.name for f in _SESS_SCHEMA]).cast(_SESS_SCHEMA)
+
+
 def sessionize_events(sf_dir: str) -> pa.Table:
     """Windowed/session aggregate: split each user's event stream into
     sessions at >30-min inactivity gaps; one row per session — sorted-
-    segment path (r2 item 1)."""
+    segment path (r2 item 1), whale-key-safe via _SessionCut partials."""
     from ..stages.segments import sorted_segment_map
     ds = _read(sf_dir, "events").select_columns(
         ["user_id", "event_id", "ts", "value"])
     out = _tbl(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
-                                  _session_block, _SESS_SCHEMA))
+                                  _session_block, _SESS_SCHEMA,
+                                  cut_kernel=_SessionCut()))
     out = out.set_column(
         out.column_names.index("sum_value"), "sum_value",
         pa.array(_round(out.column("sum_value").to_numpy(
@@ -683,6 +934,61 @@ def _lag_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
     }, schema=_LAG_SCHEMA)
 
 
+class _LagCut:
+    """Mergeable partials for LAG (lookback-1 kernel): a cut piece emits
+    all its diffs except the first row's, and carries (first/last value);
+    the driver fills each piece's first-row diff from the previous piece's
+    last value — one out row per piece, o(#blocks) driver state."""
+
+    partial_schema = pa.schema([
+        ("user_id", pa.int64()), ("o_ts", pa.int64()),
+        ("o_event", pa.int64()), ("first_event", pa.int64()),
+        ("first_val", pa.float64()), ("last_val", pa.float64())])
+    sort_cols = ("user_id", "o_ts", "o_event")
+    emit_schema = None
+
+    def partials(self, batch, starts, ends):
+        ts = _np_i64(batch, "ts")
+        ev = _np_i64(batch, "event_id")
+        uid = _np_i64(batch, "user_id")
+        val = batch.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        prows = {f.name: [] for f in self.partial_schema}
+        emits: list[pa.Table] = []
+        for s, e in zip(starts, ends):
+            prows["user_id"].append(int(uid[s]))
+            prows["o_ts"].append(int(ts[s]))
+            prows["o_event"].append(int(ev[s]))
+            prows["first_event"].append(int(ev[s]))
+            prows["first_val"].append(float(val[s]))
+            prows["last_val"].append(float(val[e - 1]))
+            if e - s > 1:
+                d = val[s + 1:e] - val[s:e - 1]
+                emits.append(pa.table({
+                    "event_id": pa.array(ev[s + 1:e], pa.int64()),
+                    "user_id": pa.array(uid[s + 1:e], pa.int64()),
+                    "value_diff": pa.array(_round(d), pa.float64()),
+                }, schema=_LAG_SCHEMA))
+        emit = pa.concat_tables(emits) if emits else None
+        return emit, pa.table(prows, schema=self.partial_schema)
+
+    def merge(self, p: pa.Table) -> pa.Table:
+        uid = p.column("user_id").to_numpy(zero_copy_only=False)
+        fval = p.column("first_val").to_numpy(zero_copy_only=False)
+        lval = p.column("last_val").to_numpy(zero_copy_only=False)
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        d = _round(fval - np.r_[np.float64(0), lval[:-1]])
+        return pa.table({
+            "event_id": p.column("first_event").cast(pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "value_diff": pa.array(np.where(change, np.nan, d), pa.float64(),
+                                   from_pandas=True),
+        }, schema=_LAG_SCHEMA)
+
+    def adjust(self, batch, adjust_map):
+        return batch
+
+
 def lag_diff_events(sf_dir: str) -> pa.Table:
     """LAG window function (value − previous value per user along (ts,
     event_id)) on the sorted-segment path — the O-family window op the
@@ -691,7 +997,8 @@ def lag_diff_events(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "events").select_columns(
         ["event_id", "user_id", "ts", "value"])
     out = _tbl(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
-                                  _lag_block, _LAG_SCHEMA))
+                                  _lag_block, _LAG_SCHEMA,
+                                  cut_kernel=_LagCut()))
     return out.take(pc.sort_indices(out, sort_keys=[("event_id",
                                                      "ascending")]))
 

@@ -115,14 +115,76 @@ def _segments_of(batch: pa.Table, key: str):
     return starts, ends
 
 
-class _SegmentKernel:
-    """map_batches callable: vectorized interior segments + IPC carry row."""
+class CutKernel:
+    """Mergeable handling of a block's possibly-cut boundary segments
+    (VERDICT r3 item 2 — removes the whale-key driver stitch).
 
-    def __init__(self, key: str, block_fn, out_schema: pa.Schema):
+    Without a CutKernel, ``sorted_segment_map`` carries the RAW ROWS of
+    every block's first/last segment to the driver and re-runs ``block_fn``
+    on the stitched runs — exact, but a single hot key spanning many blocks
+    materializes ALL its rows on the driver. A CutKernel instead emits a
+    fixed-size PARTIAL STATE per cut piece (o(#blocks) driver bytes, never
+    O(rows)) plus, for per-row-output kernels, the piece rows it can
+    finalize locally; the driver merges partials along each key run with
+    the kernel's associative merge.
+
+    Contract:
+    - ``partial_schema``: schema of the carried partial rows; must contain
+      ``sort_cols`` (key first, then enough order columns to reconstruct
+      run order — the (key, order) prefix must uniquely order pieces).
+    - ``emit_schema``: schema of rows emitted distributed from cut pieces
+      (defaults to the map's out_schema; may extend it with bookkeeping
+      columns that ``adjust`` strips).
+    - ``partials(batch, starts, ends) -> (emit | None, partials)``: called
+      once per block with ONLY the boundary segments (1 or 2).
+    - ``merge(partials_sorted) -> out | (out, adjust_map)``: driver-side
+      over all partial rows sorted by ``sort_cols``; returns finalized out
+      rows for the cut runs, plus an optional per-piece adjustment map.
+    - ``adjust(batch, adjust_map) -> batch``: final distributed fix-up of
+      emitted rows (e.g. add per-piece ordinal offsets), projecting back to
+      out_schema. Only called when merge returned an adjust_map.
+    """
+
+    partial_schema: pa.Schema
+    sort_cols: Sequence[str]
+    emit_schema: pa.Schema | None = None
+
+    def partials(self, batch: pa.Table, starts: np.ndarray,
+                 ends: np.ndarray):
+        raise NotImplementedError
+
+    def merge(self, partials: pa.Table):
+        raise NotImplementedError
+
+    def adjust(self, batch: pa.Table, adjust_map: dict) -> pa.Table:
+        return batch
+
+
+class _SegmentKernel:
+    """map_batches callable: vectorized interior segments + carry row
+    (IPC raw rows without a cut kernel, IPC partial states with one)."""
+
+    def __init__(self, key: str, block_fn, out_schema: pa.Schema,
+                 cut_kernel: CutKernel | None = None):
         self.key = key
         self.block_fn = block_fn
-        self.schema = out_schema.append(pa.field(CARRY_COL, pa.large_binary()))
+        self.cut = cut_kernel
+        emit = (cut_kernel.emit_schema if cut_kernel is not None
+                and cut_kernel.emit_schema is not None else out_schema)
+        self.emit_schema = emit
+        self.schema = emit.append(pa.field(CARRY_COL, pa.large_binary()))
         self.out_schema = out_schema
+
+    def _pad(self, tbl: pa.Table) -> pa.Table:
+        """Align a table to emit_schema + null carry column."""
+        cols = []
+        for f in self.emit_schema:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        cols.append(pa.nulls(tbl.num_rows, pa.large_binary()))
+        return pa.Table.from_arrays(cols, schema=self.schema)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -132,15 +194,22 @@ class _SegmentKernel:
         parts: list[pa.Table] = []
         if starts.size > 2:
             out = self.block_fn(batch, starts[1:-1], ends[1:-1])
-            parts.append(out.append_column(
-                CARRY_COL, pa.nulls(out.num_rows, pa.large_binary()))
-                .cast(self.schema))
-        carry_slices = [batch.slice(0, int(ends[0]))]
-        if starts.size > 1:
-            carry_slices.append(batch.slice(
-                int(starts[-1]), batch.num_rows - int(starts[-1])))
-        buf = _ipc_bytes(pa.concat_tables(carry_slices))
-        carry_cols = {f.name: pa.nulls(1, f.type) for f in self.out_schema}
+            parts.append(self._pad(out))
+        if self.cut is not None:
+            b_idx = np.array([0] if starts.size == 1
+                             else [0, starts.size - 1])
+            emit, partial = self.cut.partials(batch, starts[b_idx],
+                                              ends[b_idx])
+            if emit is not None and emit.num_rows:
+                parts.append(self._pad(emit))
+            buf = _ipc_bytes(partial)
+        else:
+            carry_slices = [batch.slice(0, int(ends[0]))]
+            if starts.size > 1:
+                carry_slices.append(batch.slice(
+                    int(starts[-1]), batch.num_rows - int(starts[-1])))
+            buf = _ipc_bytes(pa.concat_tables(carry_slices))
+        carry_cols = {f.name: pa.nulls(1, f.type) for f in self.emit_schema}
         carry_cols[CARRY_COL] = pa.array([buf], pa.large_binary())
         parts.append(pa.table(carry_cols, schema=self.schema))
         return pa.concat_tables(parts)
@@ -151,7 +220,9 @@ def sorted_segment_map(ds: "ray.data.Dataset", key: str,
                        block_fn: Callable[[pa.Table, np.ndarray, np.ndarray],
                                           pa.Table],
                        out_schema: pa.Schema,
-                       width: int | None = None) -> "ray.data.Dataset":
+                       width: int | None = None,
+                       cut_kernel: CutKernel | None = None,
+                       stats: dict | None = None) -> "ray.data.Dataset":
     """Apply ``block_fn`` to every maximal run of equal ``key`` values of
     ``ds`` ordered by ``order_cols``, distributed.
 
@@ -161,6 +232,15 @@ def sorted_segment_map(ds: "ray.data.Dataset", key: str,
     Ordering ambiguity: ``[key] + order_cols`` should uniquely order rows
     wherever relative order affects the result (the carry stitch re-sorts
     by exactly these columns).
+
+    ``cut_kernel``: mergeable partial-state handling of the possibly-cut
+    block-boundary segments — driver carry is o(#blocks) partial rows
+    instead of O(rows of cut keys), so a whale key spanning every block
+    cannot materialize on the driver (VERDICT r3 item 2). Without one, the
+    exact raw-row stitch runs (kernels without an associative merge).
+
+    ``stats``: optional dict; receives ``carry_bytes`` / ``carry_rows`` /
+    ``n_blocks`` for tests asserting the o(#blocks) carry bound.
     """
     sort_cols = [key] + list(order_cols)
     if width is None:
@@ -172,28 +252,54 @@ def sorted_segment_map(ds: "ray.data.Dataset", key: str,
         ds = ds.materialize()
         width = shuffle_width(ds)
     res = ds.repartition(width).sort(sort_cols).map_batches(
-        _SegmentKernel(key, block_fn, out_schema),
+        _SegmentKernel(key, block_fn, out_schema, cut_kernel=cut_kernel),
         batch_format="pyarrow", batch_size=None).materialize()
 
     carry_tbls: list[pa.Table] = []
+    carry_bytes = 0
     carry_stream = res.map_batches(
         lambda t: t.filter(pc.is_valid(t.column(CARRY_COL)))
         .select([CARRY_COL]), batch_format="pyarrow")
     for b in carry_stream.iter_batches(batch_format="pyarrow"):
         for buf in b.column(CARRY_COL).to_pylist():
+            carry_bytes += len(buf)
             carry_tbls.append(_ipc_table(buf))
 
     main = res.map_batches(
         lambda t: t.filter(pc.is_null(t.column(CARRY_COL)))
         .drop_columns([CARRY_COL]), batch_format="pyarrow")
 
-    if carry_tbls:
-        carry = pa.concat_tables(carry_tbls).combine_chunks()
+    if stats is not None:
+        stats["carry_bytes"] = carry_bytes
+        stats["carry_rows"] = sum(t.num_rows for t in carry_tbls)
+        stats["n_blocks"] = len(carry_tbls)
+
+    if not carry_tbls:
+        return main
+
+    carry = pa.concat_tables(carry_tbls).combine_chunks()
+    if cut_kernel is not None:
+        k_sort = [(c, "ascending") for c in cut_kernel.sort_cols]
+        carry = carry.take(pc.sort_indices(carry, sort_keys=k_sort))
+        merged = cut_kernel.merge(carry.combine_chunks())
+        adjust_map = None
+        if isinstance(merged, tuple):
+            merged, adjust_map = merged
+        if adjust_map:
+            cut = cut_kernel  # broadcast the o(#blocks) map in the closure
+            main = main.map_batches(
+                lambda b: cut.adjust(b, adjust_map), batch_format="pyarrow")
+        elif cut_kernel.emit_schema is not None:
+            main = main.map_batches(
+                lambda b: b.select([f.name for f in out_schema])
+                .cast(out_schema), batch_format="pyarrow")
+        fixed = merged.cast(out_schema)
+    else:
         order = pc.sort_indices(
             carry, sort_keys=[(c, "ascending") for c in sort_cols])
         carry = carry.take(order).combine_chunks()
         starts, ends = _segments_of(carry, key)
         fixed = block_fn(carry, starts, ends).cast(out_schema)
-        if fixed.num_rows:
-            return main.union(ray.data.from_arrow(fixed))
+    if fixed.num_rows:
+        return main.union(ray.data.from_arrow(fixed))
     return main

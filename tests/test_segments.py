@@ -245,3 +245,92 @@ def test_sorted_segment_map_executes_upstream_once(tmp_path):
     assert res["n"].sum() == 10_000
     processed = sum(int(f.read_text()) for f in marker.iterdir())
     assert processed == 10_000, f"upstream executed {processed/10_000:.1f}x"
+
+
+# ---------------------------------------------------------------------------
+# Whale-key bound (VERDICT r3 item 2): one key holding 50% of 1M rows must
+# pass all five segment-path oracles with o(#blocks) driver carry — the cut
+# kernels carry fixed-size partial states, never the key's rows.
+
+
+@pytest.fixture(scope="module")
+def whale_events_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+    d = tmp_path_factory.mktemp("whale")
+    n = 1_000_000
+    whale = n // 2
+    rng = np.random.default_rng(7)
+    user = np.concatenate([np.zeros(whale, np.int64),
+                           rng.integers(1, 20_001, n - whale)])
+    event_id = np.arange(n, dtype=np.int64)
+    base = np.datetime64("2025-03-01T00:00:00", "us").astype(np.int64)
+    # ts ~ event order + ±2h integer noise → plenty of per-user regressions
+    ts = (base + event_id * 1_000_000
+          + rng.integers(-7200, 7200, n) * 1_000_000)
+    # integer-valued floats: every sum/diff/mean is FP-exact on both engines
+    value = rng.integers(0, 100, n).astype(np.float64)
+    perm = rng.permutation(n)  # file order ≠ key order
+    tbl = pa.table({
+        "event_id": pa.array(event_id[perm], pa.int64()),
+        "user_id": pa.array(user[perm], pa.int64()),
+        "ts": pa.array(ts[perm], pa.timestamp("us")),
+        "value": pa.array(value[perm], pa.float64()),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"), row_group_size=100_000)
+    return str(d)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns), kind="stable",
+                          na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [
+    "ts_monotonicity_events", "user_event_gaps", "sessionize_events",
+    "rolling_avg_events", "lag_diff_events"])
+def test_whale_key_segment_queries_match_oracle(whale_events_dir, name):
+    import duckdb
+
+    from data_profiler_ray.pipelines.queries import ORACLE_SQL, QUERIES
+    got = QUERIES[name](whale_events_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet("
+                f"'{whale_events_dir}/events.parquet')")
+    exp = con.execute(ORACLE_SQL[name]).fetchdf()
+    assert len(got) == len(exp), (len(got), len(exp))
+    a, b = _norm(got), _norm(exp)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_whale_key_carry_is_o_blocks(whale_events_dir):
+    """Driver carry stays o(#blocks) — a few fixed-size partial rows per
+    block — even though one key spans half the dataset (the raw-row stitch
+    would have pulled 500k rows to the driver)."""
+    from data_profiler_ray.pipelines.queries import (_GAPS_SCHEMA,
+                                                     _SESS_SCHEMA, _GapsCut,
+                                                     _SessionCut, _gaps_block,
+                                                     _session_block)
+    ds = ray.data.read_parquet(f"{whale_events_dir}/events.parquet")
+    for block_fn, schema, cut in [
+            (_gaps_block, _GAPS_SCHEMA, _GapsCut()),
+            (_session_block, _SESS_SCHEMA, _SessionCut())]:
+        st = {}
+        _collect(sorted_segment_map(ds, "user_id", ["ts", "event_id"],
+                                    block_fn, schema, width=16,
+                                    cut_kernel=cut, stats=st))
+        assert st["n_blocks"] >= 8
+        assert st["carry_rows"] <= 2 * st["n_blocks"]
+        assert st["carry_bytes"] <= 64 * 1024  # o(#blocks), not O(rows)
+
+
+def test_whale_rolling_carry_bounded(whale_events_dir):
+    from data_profiler_ray.functions.joins import rolling_window
+    # rolling carries ≤ window-1 head rows per block piece: bound ~ blocks·w
+    ds = ray.data.read_parquet(f"{whale_events_dir}/events.parquet")
+    out = _collect(rolling_window(ds, "user_id", ["ts", "event_id"],
+                                  "value", window=5))
+    assert len(out) == 1_000_000
