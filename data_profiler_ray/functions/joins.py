@@ -372,3 +372,132 @@ def range_join_broadcast(left: "ray.data.Dataset", intervals: pa.Table,
 
     return left.map_batches(_RangeJoin, batch_format="pyarrow",
                             concurrency=concurrency or (1, 8))
+
+
+def range_join_partitioned(left: "ray.data.Dataset",
+                           intervals: "ray.data.Dataset",
+                           value_col: str,
+                           lo_col: str = "lo", hi_col: str = "hi",
+                           num_buckets: int | None = None
+                           ) -> "ray.data.Dataset":
+    """Partitioned interval join for a LARGE interval side (VERDICT r3
+    item 3 — the scale path ``range_join_broadcast`` documents).
+
+    The value domain [min(lo), max(hi)] is split into ``num_buckets``
+    equal-width buckets; each interval is REPLICATED into every bucket it
+    overlaps, each left row hashes to its value's single bucket, and both
+    sides co-locate through ONE sort exchange on ``(bucket, side)`` — the
+    same union-tag-sort shape as ``asof_join_partitioned``. Per-bucket
+    containment is one vectorized (lefts × bucket-intervals) matrix; a
+    left row meets a given interval in exactly one bucket (its own), so no
+    dedup pass is needed. INNER semantics, inclusive BETWEEN.
+
+    Partitioning assumption: interval lengths are bounded relative to the
+    domain — an interval spanning b buckets replicates b times (a
+    whole-domain interval replicates into every bucket). Skewed-hot
+    buckets degrade to the segment carry stitch, they don't break.
+    """
+    from ray.data.aggregate import Max, Min
+    from ..stages.segments import shuffle_width
+
+    intervals = intervals.materialize()
+    mm = intervals.aggregate(Min(lo_col), Max(hi_col))
+    gmin = float(mm[f"min({lo_col})"])
+    gmax = float(mm[f"max({hi_col})"])
+    if num_buckets is None:
+        # one bucket per ~128MB interval block, floored at 16 so small
+        # inputs still parallelize; bounded so a whole-domain interval
+        # can't fan out unboundedly
+        num_buckets = min(max(shuffle_width(intervals), 16), 4096)
+    bw = (gmax - gmin) / num_buckets if gmax > gmin else 1.0
+
+    lschema = _pa_schema(left)
+    ischema = _pa_schema(intervals)
+    extras = [f for f in ischema if f.name not in (lo_col, hi_col)]
+    unified = pa.schema(
+        [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
+        + list(lschema)
+        + extras
+        + [pa.field(lo_col, pa.float64()), pa.field(hi_col, pa.float64())])
+    out_schema = pa.schema(
+        list(lschema) + extras
+        + [pa.field(lo_col, pa.float64()), pa.field(hi_col, pa.float64())])
+
+    def _pad_to(batch: pa.Table, bucket: np.ndarray, side: int) -> pa.Table:
+        cols = []
+        for f in unified:
+            if f.name == "__bucket":
+                cols.append(pa.array(bucket.astype(np.int32)))
+            elif f.name == "__side":
+                cols.append(pa.array(np.full(batch.num_rows, side, np.int8)))
+            elif f.name in batch.column_names:
+                cols.append(batch.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = np.flatnonzero(~np.isnan(v) & (v >= gmin) & (v <= gmax))
+        batch = batch.take(pa.array(keep))
+        b = np.clip(((v[keep] - gmin) / bw).astype(np.int64),
+                    0, num_buckets - 1)
+        return _pad_to(batch, b, 1)
+
+    def expand_intervals(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        hi = batch.column(hi_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(lo) & ~np.isnan(hi) & (hi >= lo)
+        b_lo = np.clip(((lo - gmin) / bw).astype(np.int64),
+                       0, num_buckets - 1)
+        b_hi = np.clip(((hi - gmin) / bw).astype(np.int64),
+                       0, num_buckets - 1)
+        reps = np.where(ok, b_hi - b_lo + 1, 0)
+        rows = np.repeat(np.arange(batch.num_rows), reps)
+        # bucket index within each replicated row's own span
+        offs = np.arange(rows.size) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        return _pad_to(batch.take(pa.array(rows)),
+                       b_lo[rows] + offs, 0)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        intervals.map_batches(expand_intervals, batch_format="pyarrow"))
+
+    lnames = [f.name for f in lschema]
+    enames = [f.name for f in extras]
+
+    def block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
+              ) -> pa.Table:
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lo = batch.column(lo_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        hi = batch.column(hi_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        outs: list[pa.Table] = []
+        for s, e in zip(starts, ends):
+            sl = np.arange(int(s), int(e))
+            iv = sl[side[sl] == 0]
+            lf = sl[side[sl] == 1]
+            if iv.size == 0 or lf.size == 0:
+                continue
+            m = ((v[lf][:, None] >= lo[iv]) & (v[lf][:, None] <= hi[iv]))
+            li, ii = np.nonzero(m)
+            if li.size == 0:
+                continue
+            take_l = pa.array(lf[li])
+            take_i = pa.array(iv[ii])
+            cols = [batch.column(c).take(take_l) for c in lnames]
+            cols += [batch.column(c).take(take_i) for c in enames]
+            cols += [batch.column(lo_col).take(take_i),
+                     batch.column(hi_col).take(take_i)]
+            outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+        return (pa.concat_tables(outs) if outs
+                else out_schema.empty_table())
+
+    return sorted_segment_map(tagged, "__bucket", ["__side"], block,
+                              out_schema)

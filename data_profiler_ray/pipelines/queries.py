@@ -909,6 +909,36 @@ def price_tier_orders(sf_dir: str) -> pa.Table:
         ("o_orderkey", "ascending"), ("tier", "ascending")]))
 
 
+_BAND_HALF_WIDTH = 200.0
+
+
+def price_band_orders(sf_dir: str) -> pa.Table:
+    """PARTITIONED range join (r3 verdict item 3): the interval side is a
+    LARGE table (one ±200 price band per order — 15k intervals at sf0.01,
+    non-broadcastable shape at scale), bucketed by value range and
+    co-located with the probe side through one sort exchange
+    (functions/joins.py:range_join_partitioned)."""
+    from ..functions.joins import range_join_partitioned
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "band_id": b.column("o_orderkey").cast(pa.int64()),
+            "lo": pc.subtract(b.column("o_totalprice").cast(pa.float64()),
+                              _BAND_HALF_WIDTH),
+            "hi": pc.add(b.column("o_totalprice").cast(pa.float64()),
+                         _BAND_HALF_WIDTH)})
+
+    bands = orders.map_batches(to_bands, batch_format="pyarrow")
+    out = _tbl(range_join_partitioned(orders, bands, "o_totalprice"))
+    res = pa.table({
+        "o_orderkey": out.column("o_orderkey").cast(pa.int64()),
+        "band_id": out.column("band_id").cast(pa.int64())})
+    return res.take(pc.sort_indices(res, sort_keys=[
+        ("o_orderkey", "ascending"), ("band_id", "ascending")]))
+
+
 _LAG_SCHEMA = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
                          ("value_diff", pa.float64())])
 
@@ -1324,6 +1354,7 @@ QUERIES = {
     "asof_price_events": asof_price_events,
     "asof_purchase_events": asof_purchase_events,
     "price_tier_orders": price_tier_orders,
+    "price_band_orders": price_band_orders,
     "lag_diff_events": lag_diff_events,
     "split_documents": split_documents,
     "referential_orders_customers": referential_orders_customers,
@@ -1556,6 +1587,12 @@ ORACLE_SQL = {
         + ") AS t(tier, lo, hi) "
         "ON o.o_totalprice BETWEEN t.lo AND t.hi "
         "ORDER BY o.o_orderkey, t.tier"),
+    "price_band_orders": (
+        "SELECT a.o_orderkey, b.o_orderkey AS band_id FROM orders a "
+        "JOIN orders b ON a.o_totalprice "
+        f"BETWEEN b.o_totalprice - {_BAND_HALF_WIDTH} "
+        f"AND b.o_totalprice + {_BAND_HALF_WIDTH} "
+        "ORDER BY a.o_orderkey, band_id"),
     "lag_diff_events": (
         "SELECT event_id, user_id, "
         f"ROUND((value - LAG(value) OVER (PARTITION BY user_id "

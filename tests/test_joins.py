@@ -60,3 +60,37 @@ def test_rolling_window_vs_pandas():
               .reset_index(drop=True))
     assert out["v_rolling_mean"].to_numpy() == pytest.approx(
         expect.to_numpy())
+
+
+def test_range_join_partitioned_matches_broadcast():
+    """Partitioned (bucketed) interval join ≡ broadcast containment on
+    adversarial intervals: overlaps, duplicates, a whole-domain interval
+    (replicates into every bucket), and left values outside the domain."""
+    from data_profiler_ray.functions.joins import (range_join_broadcast,
+                                                   range_join_partitioned)
+    rng = np.random.default_rng(11)
+    n_left, n_iv = 20_000, 500
+    v = rng.uniform(-50, 1050, n_left)
+    left = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(np.arange(n_left), pa.int64()),
+        "val": pa.array(v, pa.float64())}))
+    lo = rng.uniform(0, 1000, n_iv)
+    length = rng.exponential(5.0, n_iv)
+    hi = lo + length
+    lo[0], hi[0] = 0.0, 1000.0          # whole-domain interval
+    lo[1], hi[1] = lo[2], hi[2]         # exact duplicate interval
+    iv_tbl = pa.table({
+        "iv_id": pa.array(np.arange(n_iv), pa.int64()),
+        "lo": pa.array(lo, pa.float64()),
+        "hi": pa.array(hi, pa.float64())})
+
+    def _pairs(ds):
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        df = t.to_pandas()[["row_id", "iv_id"]]
+        return df.sort_values(["row_id", "iv_id"]).reset_index(drop=True)
+
+    got = _pairs(range_join_partitioned(
+        left, ray.data.from_arrow(iv_tbl), "val", num_buckets=13))
+    exp = _pairs(range_join_broadcast(left, iv_tbl, "val"))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
