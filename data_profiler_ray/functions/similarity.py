@@ -7,7 +7,8 @@ Two paths (both Ray-Data-first, per the training-data-ops brief):
   does one numpy matmul against it and emits only its local top-k rows;
   the driver merges #blocks × k tiny results.
 - **IVF (inverted-file) top-k** (scale path): k-means centroids fitted on a
-  driver-side SAMPLE (``ds.limit``), broadcast; a map_batches stage assigns
+  driver-side UNIFORM sample (``ds.random_sample``), broadcast; a
+  map_batches stage assigns
   each vector to its nearest centroid and PRUNES every batch down to vectors
   whose centroid is among the ``n_probe`` closest to the query — only the
   surviving fraction pays the exact-distance matmul.
@@ -91,21 +92,52 @@ def knn_brute_force(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
 def _sample_kmeans(ds: "ray.data.Dataset", emb_col: str, n_clusters: int,
                    sample_rows: int, iters: int = 10,
                    seed: int = 2023) -> np.ndarray:
-    """Driver-side k-means on a bounded sample (never the full dataset)."""
+    """Driver-side k-means on an UNBIASED bounded sample (VERDICT r3
+    item 4): uniform ``random_sample`` over ALL blocks — ``limit()`` takes
+    the FIRST blocks, so on input sorted/partitioned by cluster the
+    centroids only saw the leading clusters and recall collapsed — then a
+    seeded driver down-select to exactly ``sample_rows``. The count() is a
+    parquet-metadata read on fresh reads; the 1.25× oversample makes a
+    short random draw (< sample_rows after sampling) vanishingly rare."""
+    sel = ds.select_columns([emb_col])
+    n = sel.count()
+    if n > sample_rows:
+        frac = min(1.0, (sample_rows * 1.25 + 256.0) / n)
+        sel = sel.random_sample(frac, seed=seed)
     sample = pa.concat_tables(list(
-        ds.select_columns([emb_col]).limit(sample_rows)
-        .iter_batches(batch_format="pyarrow")))
+        sel.iter_batches(batch_format="pyarrow")))
     X = _stack(sample.column(emb_col))
+    # spherical k-means: cluster UNIT vectors so centroid assignment, probe
+    # selection and the final cosine scoring all live in the same geometry
+    # (r4 fix: probe distances previously mixed a normalized query with
+    # unnormalized centroids — nearest-centroid-by-norm, not by direction)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    cent = X[rng.choice(X.shape[0], size=min(n_clusters, X.shape[0]),
-                        replace=False)]
+    if X.shape[0] > sample_rows:
+        X = X[rng.choice(X.shape[0], size=sample_rows, replace=False)]
+    # k-means++ seeding (Arthur & Vassilvitskii 2007, public method):
+    # D²-weighted draws cover well-separated blobs that uniform random
+    # init misses (Lloyd cannot migrate a centroid across empty space)
+    k = min(n_clusters, X.shape[0])
+    cent = np.empty((k, X.shape[1]), dtype=np.float64)
+    cent[0] = X[rng.integers(X.shape[0])]
+    d2 = ((X - cent[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = float(d2.sum())
+        idx = (rng.choice(X.shape[0], p=d2 / tot) if tot > 0
+               else rng.integers(X.shape[0]))
+        cent[i] = X[idx]
+        d2 = np.minimum(d2, ((X - cent[i]) ** 2).sum(axis=1))
     for _ in range(iters):
         d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
+        mind = d.min(axis=1)
         for c in range(cent.shape[0]):
             m = assign == c
             if m.any():
                 cent[c] = X[m].mean(axis=0)
+            else:  # empty cluster: reseed to the worst-served point
+                cent[c] = X[mind.argmax()]
     return cent
 
 
@@ -114,8 +146,11 @@ class _IVFScorer:
 
     def __init__(self, cent_ref, query_ref, k: int, n_probe: int,
                  emb_col: str, id_col: str):
-        self.cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+        cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
             else cent_ref
+        # unit centroids (spherical k-means means are not exactly unit)
+        self.cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
         self.q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         # clusters to probe: nearest n_probe centroids to ANY query
@@ -133,15 +168,16 @@ class _IVFScorer:
                           "cosine": pa.array([], pa.float64())})
         if mat.size == 0:
             return empty
-        d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        # nearest unit centroid to each UNIT vector ≡ max cosine — the same
+        # geometry the probe set and final scoring use
+        assign = (unit @ self.cent.T).argmax(axis=1)
         keep = np.isin(assign, list(self.probe))
         if not keep.any():
             return empty
-        sub = mat[keep]
+        normed = unit[keep]
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)[keep]
-        normed = sub / np.maximum(
-            np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
         sim = normed @ self.q.T
         k = min(self.k, sim.shape[0])
         top = np.argpartition(-sim, k - 1, axis=0)[:k]
