@@ -124,15 +124,16 @@ def vader_compound(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
     - normalization x/√(x²+15).
 
     Not implemented from the original (documented gaps): special-case
-    idioms ('the bomb', 'kiss of death'), 'least'/'never so' sequence
-    rules, emoticon entries. Fully vectorized: dict lookups via pandas
-    map over the flat token array; windows via shifted-index arithmetic
-    masked at document boundaries.
+    idioms ('the bomb', 'kiss of death') and 'least'/'never so' sequence
+    rules. Emoticons ARE matched (raw-token lookup before punctuation
+    stripping, r4). Fully vectorized: dict lookups via pandas map over
+    the flat token array; windows via shifted-index arithmetic masked at
+    document boundaries.
     """
     import pandas as pd
 
-    from .vader_lexicon import (ALPHA, BOOSTERS, C_INCR, LEXICON, NEGATIONS,
-                                N_SCALAR)
+    from .vader_lexicon import (ALPHA, BOOSTERS, C_INCR, EMOTICONS, LEXICON,
+                                NEGATIONS, N_SCALAR)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     filled = pc.fill_null(text, "")
@@ -150,10 +151,14 @@ def vader_compound(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
     doc_start_of = np.repeat(starts, doc_len)
     pos = np.arange(n_tok)
 
-    # strip clinging punctuation so "good!" / "BAD," match the lexicon
+    # strip clinging punctuation so "good!" / "BAD," match the lexicon;
+    # emoticons are matched on the RAW token first (stripping erases them)
     bare = pc.replace_substring_regex(flat, r"^\W+|\W+$", "")
+    raw = pd.Series(flat.to_numpy(zero_copy_only=False))
+    emo = raw.map(EMOTICONS)
     lower = pd.Series(pc.utf8_lower(bare).to_numpy(zero_copy_only=False))
-    val = lower.map(LEXICON).fillna(0.0).to_numpy(dtype=np.float64)
+    val = emo.fillna(lower.map(LEXICON)).fillna(0.0).to_numpy(
+        dtype=np.float64)
     boost = lower.map(BOOSTERS).fillna(0.0).to_numpy(dtype=np.float64)
     neg_flag = lower.isin(NEGATIONS).to_numpy().astype(np.float64)
     # a booster position that is itself a lexicon word contributes valence,

@@ -1047,7 +1047,11 @@ def drift_events_value(sf_dir: str) -> pa.Table:
     mm = ds_all.aggregate(Min("value"), Max("value"))
     lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
     edges = np.linspace(lo, hi, 11)
+    # uniform=(lo, hi, 10): DriftBinner bins with the SAME floor((v-lo)/w)
+    # arithmetic as the SQL oracle (ADVICE r3 — np.histogram's linspace
+    # edges round differently in FP, so exact-edge values could flip bins)
     spec = {"value": {"kind": "numeric", "edges": edges,
+                      "uniform": (lo, hi, 10),
                       "base_counts": np.zeros(10), "is_datetime": False}}
 
     def binned_half(parity: int) -> np.ndarray:
@@ -1229,6 +1233,21 @@ def language_id_documents(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "lang_pred"]).sort_by("doc_id")
 
 
+def language_id_trigram_documents(sf_dir: str) -> pa.Table:
+    """Char-trigram language ID (Cavnar–Trenkle rank-order, r3 item 5):
+    actor-pool stage with profiles built once per actor. Rank-based scoring
+    is not SQL-expressible → rows-only; accuracy vs the stopword path is
+    covered by the short-sentence pytest."""
+    from ..functions.langid_trigram import TrigramLangID
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = _tbl(ds.map_batches(TrigramLangID, batch_format="pyarrow",
+                              concurrency=(1, 4)))
+    res = pa.table({"doc_id": out.column("doc_id").cast(pa.int64()),
+                    "lang_pred": out.column("lang_pred")})
+    return res.take(pc.sort_indices(res, sort_keys=[("doc_id",
+                                                     "ascending")]))
+
+
 def quality_scores_documents(sf_dir: str) -> pa.Table:
     out = _tbl(_read(sf_dir, "documents").select_columns(["doc_id", "text"])
                .map_batches(quality_score_batch, batch_format="pyarrow"))
@@ -1372,6 +1391,7 @@ QUERIES = {
     "char_counts_documents": char_counts_documents,
     "fingerprint_documents": fingerprint_documents,
     "language_id_documents": language_id_documents,
+    "language_id_trigram_documents": language_id_trigram_documents,
     "quality_scores_documents": quality_scores_documents,
     "transcript_validation": transcript_validation,
     "transcript_violation_counts": transcript_violation_counts,
@@ -1604,8 +1624,9 @@ ORACLE_SQL = {
     # as in stages/drift.py:_psi); KS uses the UNclipped binned CDFs
     "drift_events_value": (
         "WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events), "
-        "b AS (SELECT CAST(LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / "
-        "10.0)) AS INT), 9) AS INT) AS bin, event_id % 2 AS par "
+        "b AS (SELECT CASE WHEN hi <= lo THEN 0 ELSE "
+        "CAST(LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / "
+        "10.0)) AS INT), 9) AS INT) END AS bin, event_id % 2 AS par "
         "FROM events, mm), "
         "c AS (SELECT bin, SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS bc, "
         "SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS cc FROM b GROUP BY bin), "

@@ -262,3 +262,42 @@ def test_corpus_profile_with_topics(sf_dir):
     for t in topics:
         assert len(t["top_words"]) == 10
         assert all(isinstance(w, str) and w for w in t["top_words"])
+
+
+def test_vader_parity_generated_100_sentences():
+    """r3 verdict item 6: compound-score parity on a >=100-sentence fixed
+    set within 1e-2 — expected values come from an INDEPENDENT clean-room
+    implementation of the published formula (norm(x)=x/sqrt(x^2+15), rule
+    scalars from vader_lexicon) so a regression in the vectorized engine
+    path (tokenization, negation window, booster decay, caps, punctuation)
+    cannot hide. Sentences are deterministic templates over lexicon words,
+    including the new r4 expansion and emoticon bands."""
+    import math
+
+    from data_profiler_ray.functions.text_nlp import sentiment_batch
+    from data_profiler_ray.functions.vader_lexicon import (B_INCR, C_INCR,
+                                                           EMOTICONS,
+                                                           LEXICON, N_SCALAR)
+
+    def norm(x):
+        return max(-1.0, min(1.0, x / math.sqrt(x * x + 15.0)))
+
+    words = sorted(LEXICON)[::len(LEXICON) // 30][:30]
+    cases = []
+    for w in words:
+        v = LEXICON[w]
+        s = 1.0 if v > 0 else -1.0
+        cases.append((w, norm(v)))
+        cases.append((f"not {w}", norm(N_SCALAR * v)))
+        cases.append((f"very {w}", norm(v + B_INCR * s)))
+        cases.append((f"{w}!", norm(v + s * 0.292)))
+        # ALLCAPS target in a mixed-case doc: +C_INCR * sign
+        cases.append((f"{w.upper()} stuff", norm(v + C_INCR * s)))
+    for e, v in sorted(EMOTICONS.items())[:10]:
+        cases.append((f"feeling {e}", norm(v)))
+    assert len(cases) >= 100
+    tbl = pa.table({"text": pa.array([t for t, _ in cases], pa.string())})
+    got = sentiment_batch(tbl)["sentiment"].to_pylist()
+    bad = [(t, g, want) for (t, want), g in zip(cases, got)
+           if abs(g - want) > 1e-2]
+    assert not bad, bad[:5]
