@@ -313,14 +313,14 @@ def scaling():
     # nothing is silently discarded.
     steal_max = float(os.environ.get("SCALING_STEAL_MAX", "0.05"))
     max_attempts = 6
-    pair_runs, all_attempts = [], []
+    pair_runs, all_attempts, raw_attempts = [], [], []
     attempts = 0
     while len(pair_runs) < 3 and attempts < max_attempts:
         attempts += 1
         r_n = _run_scaling_worker(2)
         r_4n = _run_scaling_worker(8)
-        contended = max(r_n.get("steal_frac", 0),
-                        r_4n.get("steal_frac", 0)) > steal_max
+        steal = max(r_n.get("steal_frac", 0), r_4n.get("steal_frac", 0))
+        contended = steal > steal_max
         all_attempts.append({
             "t_n_sec": round(r_n["seconds"], 3),
             "t_4n_sec": round(r_4n["seconds"], 3),
@@ -328,8 +328,21 @@ def scaling():
             "steal_n": round(r_n.get("steal_frac", 0), 3),
             "steal_4n": round(r_4n.get("steal_frac", 0), 3),
             "accepted": not contended})
-        if not contended or attempts >= max_attempts:
+        raw_attempts.append((steal, attempts - 1, r_n, r_4n))
+        if not contended:
             pair_runs.append((r_n, r_4n))
+    # ADVICE r3: under sustained steal the loop could end with < 3 clean
+    # pairs (previously a single forced-accept pair posed as "median of 3")
+    # — backfill from the LEAST-contended recorded attempts so the median
+    # is still over 3 pairs, and flag the result as contended
+    contended_backfill = len(pair_runs) < 3
+    if contended_backfill:
+        for _, i, r_n, r_4n in sorted(raw_attempts, key=lambda t: t[0]):
+            if len(pair_runs) >= 3:
+                break
+            if not all_attempts[i]["accepted"]:
+                pair_runs.append((r_n, r_4n))
+                all_attempts[i]["backfilled"] = True
     r8 = pair_runs[-1][1]
     r32 = _run_scaling_worker(32)
 
@@ -362,6 +375,7 @@ def scaling():
             "32": round(r32["turns_per_sec"], 1)},
         "bench_turns": SCALING_TURNS,
         "steal_max": steal_max,
+        "contended_backfill": contended_backfill,
         "all_attempts": all_attempts,
         "hw_ceiling_before": hw_before,
         "hw_ceiling_after": _hw_ceiling(),

@@ -1020,6 +1020,11 @@ def jaccard_dup_pairs(ds: "ray.data.Dataset", id_col: str = "doc_id",
     s(s-1)/2 pair rows — quadratic in posting size, hence the ``max_rows``
     guard: above it, use ``minhash_dedup`` + ``verify_jaccard``.
     """
+    # materialize ONCE up front (ADVICE r3): count() on the lazy read would
+    # execute the upstream, and the shingle pass would re-execute it — the
+    # exact double-execution pattern shuffle_width's contract forbids. The
+    # guard caps input at max_rows so materializing is cheap by definition.
+    ds = ds.materialize()
     n_rows = ds.count()
     if n_rows > max_rows:
         raise ValueError(

@@ -90,10 +90,32 @@ class DriftBinner:
                     zero_copy_only=False)
                 if s.get("is_datetime"):
                     x = x / 1e6  # epoch seconds, matching DatetimeAccumulator
-                edges = s["edges"]
-                hist, _ = np.histogram(x, bins=edges)
-                under = int((x < edges[0]).sum())
-                over = int((x > edges[-1]).sum())
+                uni = s.get("uniform")
+                if uni is not None:
+                    # SHARED floor binning rule (ADVICE r3): identical
+                    # FLOOR((v-lo)/width) arithmetic to the SQL oracle so
+                    # exact-edge values cannot bin differently, with the
+                    # hi==lo degenerate case short-circuited on both sides
+                    lo_e, hi_e, nb = uni
+                    if hi_e <= lo_e:
+                        hist = np.zeros(nb)
+                        hist[0] = float(x.size)
+                        under = over = 0
+                    else:
+                        width = (hi_e - lo_e) / float(nb)
+                        inr = (x >= lo_e) & (x <= hi_e)
+                        idx = np.minimum(np.floor(
+                            (x[inr] - lo_e) / width).astype(np.int64),
+                            nb - 1)
+                        hist = np.bincount(idx, minlength=nb).astype(
+                            np.float64)
+                        under = int((x < lo_e).sum())
+                        over = int((x > hi_e).sum())
+                else:
+                    edges = s["edges"]
+                    hist, _ = np.histogram(x, bins=edges)
+                    under = int((x < edges[0]).sum())
+                    over = int((x > edges[-1]).sum())
                 out[name] = np.concatenate([[under], hist, [over]]).astype(
                     np.float64)
             else:

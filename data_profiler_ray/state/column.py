@@ -138,7 +138,15 @@ class _DistinctMixin:
             # word-level variant: ~8× fewer polynomial elements; this hash
             # only keys the HLL and the long-key compression, so it does
             # not need the byte-level value the fingerprint/shingle paths
-            # share
+            # share.
+            # VERSIONING ASSUMPTION (ADVICE r3): pickled accumulator state
+            # (checkpoints, cached partials) never outlives one engine
+            # version — a run resumes with the SAME code that wrote its
+            # checkpoints. Merging state written under a different string
+            # hash (pre-r3 byte-level) with current partials would
+            # double-count long keys in the HLL; if cross-version resume
+            # is ever needed, stamp a hash-version into dumps_state and
+            # reject mixed-version merges.
             from ..functions.text import hash_string_array_words
             h = hash_string_array_words(vals_arr)
         else:

@@ -40,11 +40,19 @@ class TopKCounter:
         import numpy as _np
         cl = (counts.tolist() if isinstance(counts, _np.ndarray)
               else [int(c) for c in counts])
+        d = dict(zip(values, cl))
+        if len(d) != len(cl):
+            # duplicate keys within one call (contract says unique, but a
+            # silent last-wins would desync total from the counts sum —
+            # ADVICE r3): accumulate exactly instead
+            d = {}
+            for v, c in zip(values, cl):
+                d[v] = d.get(v, 0) + c
         self.total += sum(cl)
         if self.counts:
-            self.counts.update(dict(zip(values, cl)))
+            self.counts.update(d)
         else:
-            self.counts = Counter(dict(zip(values, cl)))
+            self.counts = Counter(d)
         self._shrink()
 
     def merge(self, other: "TopKCounter") -> None:
