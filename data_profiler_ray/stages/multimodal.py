@@ -5,10 +5,11 @@ Media travel as opaque ``binary`` columns with typed metadata columns
 schema, actor-pool stage shape, small batch sizes for large payloads,
 output layout — is real and tested. Decode is REAL for the formats a
 library-free container can parse (uncompressed 24-bit **BMP**, **PNG**
-with stdlib zlib + spec unfiltering, and PCM-16 **WAV**, via
-``functions/codecs.py``); formats that genuinely need external codecs
-(jpeg/mp4) raise ``NotImplementedError`` unless ``fake=True`` selects the
-deterministic digest-based fake decode.
+with stdlib zlib + spec unfiltering, baseline **JPEG** via the pure-numpy
+T.81 codec in ``functions/jpeg.py`` (r4), and PCM-16 **WAV**, via
+``functions/codecs.py``); the one format that genuinely needs external
+codecs (mp4) raises ``NotImplementedError`` unless ``fake=True`` selects
+the deterministic digest-based fake decode.
 
 Batch-size guidance baked in: payload stages default to small
 ``batch_size`` so batch_bytes × concurrency stays inside a worker heap
@@ -27,6 +28,7 @@ import ray.data
 from ..functions.codecs import (audio_features, decode_bmp, decode_png,
                                 decode_wav_pcm16, encode_bmp, encode_png,
                                 encode_wav_pcm16, image_features)
+from ..functions.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -47,10 +49,10 @@ def synthesize_media(n: int, seed: int = 42,
                      real_codecs: bool = False) -> pa.Table:
     """Deterministic media table for plumbing tests.
 
-    With ``real_codecs=True`` image payloads are REAL 64×64 BMPs/PNGs
-    (alternating) and audio payloads REAL 16 kHz PCM-16 WAVs (sine +
-    noise), so the decode stage runs its true parsing path; video stays
-    opaque bytes (no mp4 codec).
+    With ``real_codecs=True`` image payloads are REAL 64×64 BMPs / PNGs /
+    baseline JPEGs (rotating) and audio payloads REAL 16 kHz PCM-16 WAVs
+    (sine + noise), so the decode stage runs its true parsing path; video
+    stays opaque bytes (no mp4 codec).
     """
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
@@ -61,12 +63,22 @@ def synthesize_media(n: int, seed: int = 42,
         for k in kinds:
             if k == "image":
                 img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
-                if n_images % 2 == 0:
+                if n_images % 3 == 0:
                     payloads.append(encode_bmp(img))
                     formats.append("bmp")
-                else:
+                elif n_images % 3 == 1:
                     payloads.append(encode_png(img))
                     formats.append("png")
+                else:
+                    # smooth field: JPEG of uniform noise is pathological
+                    yy, xx = np.mgrid[0:64, 0:64]
+                    base = float(rng.uniform(40, 200))
+                    smooth = np.clip(np.stack(
+                        [base + xx * 0.8, base + yy * 0.8,
+                         128 + 80 * np.sin(xx / 9.0)], axis=-1),
+                        0, 255).astype(np.uint8)
+                    payloads.append(encode_jpeg(smooth, quality=85))
+                    formats.append("jpeg")
                 n_images += 1
             elif k == "audio":
                 t = np.arange(16000) / 16000.0
@@ -135,6 +147,12 @@ class MediaFeatureExtractor:
             except ValueError:
                 if not self.fake:
                     raise
+        if fmt in ("jpeg", "jpg"):
+            try:
+                return image_features(decode_jpeg(payload), self.feat_dim)
+            except ValueError:
+                if not self.fake:
+                    raise
         if fmt == "wav":
             try:
                 samples, rate = decode_wav_pcm16(payload)
@@ -144,10 +162,9 @@ class MediaFeatureExtractor:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "jpeg/mp4 codecs (PIL/ffmpeg) are not available in this "
-                "environment; bmp/png/wav decode natively, or construct "
-                "with fake=True for the deterministic digest-based fake "
-                "decode")
+                "mp4 (ffmpeg) is not available in this environment; "
+                "bmp/png/jpeg/wav decode natively, or construct with "
+                "fake=True for the deterministic digest-based fake decode")
         digest = hashlib.blake2b(payload, digest_size=8,
                                  person=kind[:8].encode()).digest()
         rng = np.random.default_rng(int.from_bytes(digest, "little"))

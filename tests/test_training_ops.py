@@ -322,6 +322,8 @@ def test_media_decode_stub_raises():
     from data_profiler_ray.stages.multimodal import MediaFeatureExtractor
     ex = MediaFeatureExtractor(fake=False)
     with pytest.raises(NotImplementedError):
+        ex._decode("video", "mp4", b"bytes")
+    with pytest.raises(ValueError):  # jpeg is a REAL codec now: bad payload
         ex._decode("image", "jpeg", b"bytes")
     with pytest.raises(ValueError):  # png is a REAL codec now: bad payload
         ex._decode("image", "png", b"bytes")
@@ -507,12 +509,13 @@ def test_png_roundtrip_and_filters():
 
 
 def test_real_codec_feature_extraction():
-    """Real BMP/PNG/WAV payloads run the TRUE decode path (fake=False) end
-    to end through the actor-pool stage; jpeg/mp4 still gate."""
+    """Real BMP/PNG/JPEG/WAV payloads run the TRUE decode path (fake=False)
+    end to end through the actor-pool stage; mp4 still gates."""
     tbl = synthesize_media(60, seed=5, real_codecs=True)
     keep = pa.compute.is_in(tbl["kind"], value_set=pa.array(["image",
                                                             "audio"]))
     media = tbl.filter(keep)
+    assert "jpeg" in set(media.column("format").to_pylist())
     ds = ray.data.from_arrow(media)
     out = pa.concat_tables(list(
         extract_media_features(ds, fake=False, feat_dim=16)
@@ -521,9 +524,13 @@ def test_real_codec_feature_extraction():
     feats = np.stack(out["feature"].to_numpy())
     assert feats.shape[1] == 16
     assert np.isfinite(feats).all()
-    # image features: mean channels of uniform-random pixels ≈ 0.5
-    img_rows = out[out["kind"] == "image"].index
-    assert np.allclose(feats[img_rows, :3], 0.5, atol=0.05)
+    # bmp/png features: mean channels of uniform-random pixels ≈ 0.5
+    # (jpeg payloads are smooth gradients — excluded from this check)
+    fmts = media.column("format").to_pylist()
+    kinds = media.column("kind").to_pylist()
+    flat_rows = [i for i, (k, f) in enumerate(zip(kinds, fmts))
+                 if k == "image" and f in ("bmp", "png")]
+    assert np.allclose(feats[flat_rows, :3], 0.5, atol=0.05)
     # audio features: rms of 0.25-amplitude sine ≈ 0.25/sqrt(2)
     aud_rows = out[out["kind"] == "audio"].index
     assert np.allclose(feats[aud_rows, 0], 0.25 / np.sqrt(2), atol=0.03)
@@ -554,3 +561,58 @@ def test_knn_ivf_recall_on_cluster_sorted_input(tmp_path):
     approx = set(knn_ivf(ds, q, k=10, n_clusters=16, n_probe=4,
                          sample_rows=4000)["vec_id"].to_pylist())
     assert len(exact & approx) >= 9  # near-perfect recall on separated blobs
+
+
+def test_jpeg_roundtrip_within_tolerance():
+    """r3 verdict item 8: baseline JPEG encode->decode (pure-numpy T.81)
+    roundtrips a smooth image within lossy tolerance, incl. the 4:2:0
+    subsampled and grayscale and odd-dimension paths."""
+    from data_profiler_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.clip(np.stack([(xx * 4) % 256, (yy * 4) % 256,
+                            128 + 100 * np.sin(xx / 10.0) * np.cos(yy / 12.0)],
+                           axis=-1)
+                  + rng.normal(0, 3, (64, 64, 3)), 0, 255).astype(np.uint8)
+    for q, sub, psnr_min in [(90, False, 35.0), (75, False, 33.0),
+                             (90, True, 32.0)]:
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert out.shape == img.shape
+        mse = float(np.mean((out.astype(float) - img.astype(float)) ** 2))
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr >= psnr_min, (q, sub, psnr)
+    gray = (xx * 3 + yy * 2).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert gout.shape == (64, 64, 3)
+    assert np.abs(gout[:, :, 0].astype(float) - gray).mean() < 3.0
+    odd = img[:50, :37]
+    oout = decode_jpeg(encode_jpeg(odd, quality=85))
+    assert oout.shape == odd.shape
+
+
+def test_jpeg_rejects_progressive_marker():
+    from data_profiler_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # SOF2 = progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_features_match_direct_decode():
+    """JPEG rows through the actor-pool stage equal featurizing the
+    decoded image directly — the gate at multimodal.py is genuinely open."""
+    from data_profiler_ray.functions.codecs import image_features
+    from data_profiler_ray.functions.jpeg import decode_jpeg
+    tbl = synthesize_media(48, seed=9, real_codecs=True)
+    jm = tbl.filter(pa.compute.equal(tbl["format"], "jpeg"))
+    assert jm.num_rows > 0
+    out = pa.concat_tables(list(
+        extract_media_features(ray.data.from_arrow(jm), fake=False)
+        .iter_batches(batch_format="pyarrow"))).to_pandas()
+    out = out.set_index("media_id")
+    for mid, payload in zip(jm.column("media_id").to_pylist(),
+                            jm.column("payload").to_pylist()):
+        want = image_features(decode_jpeg(payload), 16)
+        got = np.asarray(out.loc[mid, "feature"])
+        assert np.allclose(got, want)
