@@ -281,9 +281,16 @@ def _run_scaling_worker(cpus: int) -> dict:
          "--scaling-worker", str(cpus)],
         capture_output=True, text=True, timeout=1800,
         env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)})
-    line = next(l for l in p.stdout.splitlines()
-                if l.startswith("SCALING_RESULT "))
-    return json.loads(line[len("SCALING_RESULT "):])
+    line = next((l for l in p.stdout.splitlines()
+                 if l.startswith("SCALING_RESULT ")), None)
+    if line is None:
+        raise RuntimeError(
+            f"scaling worker (cpus={cpus}) produced no result; "
+            f"rc={p.returncode}; stderr tail: {p.stderr[-2000:]}")
+    res = json.loads(line[len("SCALING_RESULT "):])
+    print(f"[scaling] cpus={cpus}: {res.get('seconds', '?')}s "
+          f"steal={res.get('steal_frac', 0):.3f}", file=sys.stderr)
+    return res
 
 
 def scaling():
@@ -344,7 +351,14 @@ def scaling():
                 pair_runs.append((r_n, r_4n))
                 all_attempts[i]["backfilled"] = True
     r8 = pair_runs[-1][1]
-    r32 = _run_scaling_worker(32)
+    # the 8→32 pair is the honest-record extra (this box's 32 vCPUs sit
+    # behind a memory-bandwidth wall); its failure must not discard the
+    # headline 2→8 pairs already measured
+    try:
+        r32 = _run_scaling_worker(32)
+    except Exception as ex:  # noqa: BLE001 - record, don't lose the suite
+        print(f"[scaling] 32-cpu worker failed: {ex}", file=sys.stderr)
+        r32 = None
 
     pairs = []
     for r_n, r_4n in pair_runs:
@@ -364,15 +378,17 @@ def scaling():
         "value": med,
         "unit": "efficiency",
         "pairs_2to8": pairs,
-        "pair_8to32": {"t_n_sec": round(r8["seconds"], 3),
-                       "t_4n_sec": round(r32["seconds"], 3),
-                       "speedup": round(r8["seconds"] / r32["seconds"], 3),
-                       "efficiency": round(
-                           r8["seconds"] / r32["seconds"] / 4.0, 3)},
+        "pair_8to32": ({"t_n_sec": round(r8["seconds"], 3),
+                        "t_4n_sec": round(r32["seconds"], 3),
+                        "speedup": round(r8["seconds"] / r32["seconds"], 3),
+                        "efficiency": round(
+                            r8["seconds"] / r32["seconds"] / 4.0, 3)}
+                       if r32 is not None else {"error": "worker failed"}),
         "turns_per_sec": {
             "2": [round(a["turns_per_sec"], 1) for a, _ in pair_runs],
             "8": [round(b["turns_per_sec"], 1) for _, b in pair_runs],
-            "32": round(r32["turns_per_sec"], 1)},
+            "32": (round(r32["turns_per_sec"], 1)
+                   if r32 is not None else None)},
         "bench_turns": SCALING_TURNS,
         "steal_max": steal_max,
         "contended_backfill": contended_backfill,

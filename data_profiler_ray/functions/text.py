@@ -245,6 +245,20 @@ def tfidf_summary_batch(batch: pa.Table, text_col: str = "text",
     return _set_column(batch, "summary", pa.array(summaries, pa.string()))
 
 
+_ARANGE = np.arange(0, dtype=np.int64)
+
+
+def _arange_i64(n: int) -> np.ndarray:
+    """Cached arange view: the hash kernels build index vectors as long as
+    the batch's byte/word count EVERY call; profiling the 8M-turn fold put
+    np.arange at ~25% of the hash cost. The cache grows by doubling and
+    returns a slice view — zero allocation on the steady state."""
+    global _ARANGE
+    if _ARANGE.size < n:
+        _ARANGE = np.arange(max(n, 2 * _ARANGE.size), dtype=np.int64)
+    return _ARANGE[:n]
+
+
 def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Vectorized 64-bit polynomial hash per string, straight off the UTF-8
     byte buffer: h(s) = Σ byte_i · B^(len−1−i) mod 2^64.
@@ -270,8 +284,8 @@ def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     out = np.zeros(len(lens), dtype=np.uint64)
     if raw.size:
         pows = _hash_powers(int(lens.max()))
-        pos = np.arange(raw.size, dtype=np.int64) - np.repeat(rel[:-1], lens)
-        exp = np.repeat(lens - 1, lens) - pos
+        # exp = (len-1) - (i - start) fused to ONE repeat + cached arange
+        exp = np.repeat(lens - 1 + rel[:-1], lens) - _arange_i64(raw.size)
         nonempty = lens > 0
         # reduceat over NONEMPTY starts only: empty strings own no bytes, so
         # consecutive nonempty starts partition the buffer exactly (clipping
@@ -324,13 +338,13 @@ def hash_string_array_words(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         wstart = np.concatenate([[0], np.cumsum(wlens)])[:-1]
         padded = np.zeros(total_w * 8, dtype=np.uint8)
         # scatter each string's bytes to its word-aligned region
-        dst = (np.arange(raw.size, dtype=np.int64)
+        dst = (_arange_i64(raw.size)
                + np.repeat(wstart * 8 - rel[:-1], lens))
         padded[dst] = raw
         words = padded.view(np.uint64)          # little-endian words
         pows = _hash_powers(int(wlens.max()))
-        pos = np.arange(total_w, dtype=np.int64) - np.repeat(wstart, wlens)
-        exp = np.repeat(wlens - 1, wlens) - pos
+        # exp = (wlen-1) - (i - wstart) fused to ONE repeat + cached arange
+        exp = np.repeat(wlens - 1 + wstart, wlens) - _arange_i64(total_w)
         nonempty = wlens > 0
         with np.errstate(over="ignore"):
             terms = words * pows[exp]
