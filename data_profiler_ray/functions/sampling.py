@@ -107,3 +107,53 @@ def split_filter(ds: "ray.data.Dataset", id_col: str,
             ["split"])
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+class StratifiedSampler:
+    """map_batches callable: deterministic per-stratum sampling.
+
+    A row is kept iff ``split_hash32(key, seed) < floor(frac[stratum] ·
+    2^32)`` — a pure function of (key, stratum): shard order, worker count
+    and reruns cannot move a row in or out of the sample, and the integer
+    thresholds replicate exactly in ANSI SQL (HUGEINT arithmetic, same as
+    ``hash_split``). Strata missing from ``fracs`` use ``default_frac``.
+    """
+
+    def __init__(self, id_col: str, strata_col: str,
+                 fracs: dict[str, float], seed: int = 2023,
+                 default_frac: float = 0.0):
+        self.id_col = id_col
+        self.strata_col = strata_col
+        self.thresholds = {s: int(np.floor(min(max(f, 0.0), 1.0)
+                                           * float(MOD32)))
+                           for s, f in fracs.items()}
+        self.default_thr = int(np.floor(min(max(default_frac, 0.0), 1.0)
+                                        * float(MOD32)))
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        col = batch.column(self.id_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from .text import hash_string_array
+            keys = hash_string_array(col)
+        else:
+            keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = split_hash32(keys, self.seed)
+        strata = pd.Series(batch.column(self.strata_col).to_pandas())
+        thr = strata.map(self.thresholds).fillna(self.default_thr).to_numpy(
+            dtype=np.uint64)
+        return batch.filter(pa.array(h < thr))
+
+
+def stratified_sample(ds: "ray.data.Dataset", id_col: str, strata_col: str,
+                      fracs: dict[str, float], seed: int = 2023,
+                      default_frac: float = 0.0) -> "ray.data.Dataset":
+    """Deterministic stratified sampling: keep ``fracs[stratum]`` of each
+    stratum, keyed on ``id_col`` (stateless map_batches — no shuffle)."""
+    return ds.map_batches(
+        StratifiedSampler,
+        fn_constructor_args=(id_col, strata_col, fracs, seed, default_frac),
+        batch_format="pyarrow", concurrency=(1, 8))

@@ -1114,6 +1114,60 @@ def jaccard_dup_pairs_documents(sf_dir: str) -> pa.Table:
             zero_copy_only=False)), pa.float64())})
 
 
+def dup_clusters_documents(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTERING (training-data op): connected components over
+    the exact Jaccard ≥ 0.7 pair graph; component rep = min doc_id.
+
+    Scale shape: candidate pairs come from the distributed shingle index
+    (or MinHash LSH at corpus scale); the component pass is a driver
+    union-find over O(#pairs) — pairs ≪ docs by construction. At 100 TB
+    the same reps emerge from iterative min-label propagation
+    (hash-join min(rep) to fixpoint, O(log diameter) rounds); dup-pair
+    graphs are near-diameter-1, so the driver pass is the honest default.
+    Oracled against a DuckDB recursive-CTE transitive closure."""
+    from ..functions.dedup import jaccard_dup_pairs
+    pairs = jaccard_dup_pairs(_read(sf_dir, "documents"), threshold=0.7, k=3)
+    a = pairs.column("a").to_pylist()
+    b = pairs.column("b").to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # min doc_id stays root
+    rows = sorted((d, find(d)) for d in parent)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cluster_rep": pa.array([r[1] for r in rows], pa.int64())})
+
+
+_STRAT_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.2}
+_STRAT_DEFAULT = 0.1
+
+
+def stratified_sample_documents(sf_dir: str) -> pa.Table:
+    """Deterministic per-language stratified sample (training-data op):
+    keep 50 % of en / 25 % of de / 20 % of fr / 10 % of the rest, keyed on
+    doc_id — stateless map_batches, no shuffle, rerun-stable."""
+    from ..functions.sampling import stratified_sample
+    out = _tbl(stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        "doc_id", "lang", _STRAT_FRACS, seed=_SPLIT_SEED,
+        default_frac=_STRAT_DEFAULT))
+    res = pa.table({"doc_id": out.column("doc_id").cast(pa.int64()),
+                    "lang": out.column("lang").cast(pa.string())})
+    return res.take(pc.sort_indices(res, sort_keys=[("doc_id",
+                                                     "ascending")]))
+
+
 def term_topk_documents(sf_dir: str) -> pa.Table:
     """Corpus-wide top-25 terms (the D2/A18 term-frequency family as an
     exact distributed query): per-block ``value_counts`` combiner →
@@ -1381,6 +1435,8 @@ QUERIES = {
     "exact_dedup_documents": exact_dedup_documents,
     "minhash_dedup_documents": minhash_dedup_documents,
     "jaccard_dup_pairs_documents": jaccard_dup_pairs_documents,
+    "dup_clusters_documents": dup_clusters_documents,
+    "stratified_sample_documents": stratified_sample_documents,
     "term_topk_documents": term_topk_documents,
     "simhash_candidates_documents": simhash_candidates_documents,
     "embedding_dup_pairs": embedding_dup_pairs_query,
@@ -1433,6 +1489,39 @@ def _langid_sql() -> str:
         f"WHEN {greatest} * 1.0 / n_toks < 0.05 THEN 'und' "
         + " ".join(case) + f" ELSE '{langs[-1]}' END AS lang_pred "
         "FROM s ORDER BY doc_id")
+
+
+# shared word-3-shingle Jaccard CTEs (pair query + cluster closure oracle)
+_JACCARD_CTES = (
+    "tok AS (SELECT doc_id, string_split_regex(lower(text), "
+    "'\\s+') AS t FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, unnest([t[i] || chr(31) || t[i+1] "
+    "|| chr(31) || t[i+2] for i in generate_series(1, len(t) - 2)]) "
+    "AS shingle FROM tok), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c "
+    "FROM sh x JOIN sh y ON x.shingle = y.shingle "
+    "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+    "j AS (SELECT i.a, i.b, i.c * 1.0 / (sa.n + sb.n - i.c) AS jac "
+    "FROM inter i JOIN sz sa ON i.a = sa.doc_id "
+    "JOIN sz sb ON i.b = sb.doc_id)")
+
+
+def _stratified_sql() -> str:
+    """HUGEINT replica of StratifiedSampler: same Knuth hash arithmetic as
+    _split_sql, per-stratum integer thresholds from the SAME constructor so
+    engine and SQL cannot drift."""
+    from ..functions.sampling import KNUTH, StratifiedSampler
+    s = StratifiedSampler("doc_id", "lang", _STRAT_FRACS, seed=_SPLIT_SEED,
+                          default_frac=_STRAT_DEFAULT)
+    cases = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(s.thresholds.items()))
+    return (
+        "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+        f"((((CAST(doc_id AS HUGEINT) + {_SPLIT_SEED}) * {int(KNUTH)}) "
+        "% 4294967296 + 4294967296) % 4294967296) AS h FROM documents) "
+        f"WHERE h < CASE lang {cases} ELSE {s.default_thr} END "
+        "ORDER BY doc_id")
 
 
 def _transcript_counts_sql() -> str:
@@ -1654,20 +1743,23 @@ ORACLE_SQL = {
     # (no hashing on either side). Threshold compared UNROUNDED on both
     # sides (identical IEEE division), rounding only for the hash.
     "jaccard_dup_pairs_documents": (
-        "WITH tok AS (SELECT doc_id, string_split_regex(lower(text), "
-        "'\\s+') AS t FROM documents), "
-        "sh AS (SELECT DISTINCT doc_id, unnest([t[i] || chr(31) || t[i+1] "
-        "|| chr(31) || t[i+2] for i in generate_series(1, len(t) - 2)]) "
-        "AS shingle FROM tok), "
-        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
-        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c "
-        "FROM sh x JOIN sh y ON x.shingle = y.shingle "
-        "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
-        "j AS (SELECT i.a, i.b, i.c * 1.0 / (sa.n + sb.n - i.c) AS jac "
-        "FROM inter i JOIN sz sa ON i.a = sa.doc_id "
-        "JOIN sz sb ON i.b = sb.doc_id) "
+        "WITH " + _JACCARD_CTES + " "
         f"SELECT a, b, ROUND(jac + 1e-9, {_R}) AS jaccard FROM j "
         "WHERE jac >= 0.7 ORDER BY a, b"),
+    # connected components over the same pair graph: recursive transitive
+    # closure, component rep = min reachable doc_id (mirrors the engine's
+    # min-root union-find)
+    "dup_clusters_documents": (
+        "WITH RECURSIVE " + _JACCARD_CTES + ", "
+        "p AS (SELECT a, b FROM j WHERE jac >= 0.7), "
+        "e AS (SELECT a AS s, b AS t FROM p "
+        "UNION ALL SELECT b AS s, a AS t FROM p), "
+        "n AS (SELECT DISTINCT s FROM e), "
+        "reach(s, t) AS (SELECT s, s FROM n "
+        "UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s) "
+        "SELECT s AS doc_id, CAST(MIN(t) AS BIGINT) AS cluster_rep "
+        "FROM reach GROUP BY s ORDER BY doc_id"),
+    "stratified_sample_documents": _stratified_sql(),
     "term_topk_documents": (
         "WITH tok AS (SELECT unnest(string_split_regex(lower(text), "
         "'\\s+')) AS term FROM documents) "

@@ -616,3 +616,44 @@ def test_jpeg_features_match_direct_decode():
         want = image_features(decode_jpeg(payload), 16)
         got = np.asarray(out.loc[mid, "feature"])
         assert np.allclose(got, want)
+
+
+def test_dup_cluster_union_find_components():
+    """Chained pairs must collapse to one component with min-id rep, and
+    disjoint pairs stay separate (exercises path compression + min-root)."""
+    import pyarrow.parquet as pq
+
+    from data_profiler_ray.pipelines.queries import dup_clusters_documents
+    # build a tiny documents table where jaccard clustering is knowable:
+    # 3 identical docs (chain), 2 other identical docs, 1 singleton
+    texts = ["alpha beta gamma delta epsilon zeta"] * 3 \
+        + ["one two three four five six"] * 2 \
+        + ["totally unrelated document text here now"]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string())}),
+        os.path.join(d, "documents.parquet"))
+    out = dup_clusters_documents(d).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_stratified_sample_deterministic_and_rated():
+    from data_profiler_ray.functions.sampling import StratifiedSampler
+    n = 40_000
+    rng = np.random.default_rng(3)
+    langs = np.array(["en", "de", "xx"])[rng.integers(0, 3, n)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+    s = StratifiedSampler("doc_id", "lang", {"en": 0.5, "de": 0.25},
+                          seed=7, default_frac=0.1)
+    out1, out2 = s(tbl), s(tbl)
+    assert out1.equals(out2)  # pure function of (key, stratum)
+    df = out1.to_pandas().groupby("lang").size()
+    base = pa.table({"lang": langs}).to_pandas().groupby("lang").size()
+    for lang, frac in [("en", 0.5), ("de", 0.25), ("xx", 0.1)]:
+        rate = df.get(lang, 0) / base[lang]
+        assert abs(rate - frac) < 0.02, (lang, rate)
