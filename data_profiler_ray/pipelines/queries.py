@@ -1362,6 +1362,37 @@ def transcript_validation(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def transcript_profile_stats(sf_dir: str) -> pa.Table:
+    """North-rule profile pass over the SAME violation-injected transcript
+    fixture the flagship validates: per-column (cnt, n_missing, n_distinct)
+    from the distributed accumulator pipeline, DuckDB-oracled. All fixture
+    cardinalities sit below the exact-counter caps, so n_distinct is exact
+    (long text values go through the injective prefix+hash compression)."""
+    import ray.data
+    from ..config import ProfileConfig
+    from ..stages.profile import profile_dataset
+    tdir = _tv_fixture()
+    prof = profile_dataset(ray.data.read_parquet(tdir), ProfileConfig())
+    rows = [{"column_name": v["name"], "cnt": int(v["count"]),
+             "n_missing": int(v["num_missing"]),
+             "n_distinct": int(v.get("n_distinct", 0))}
+            for v in prof["variables"]]
+    rows.sort(key=lambda r: r["column_name"])
+    return pa.Table.from_pylist(rows)
+
+
+def _transcript_profile_sql() -> str:
+    from ..synthetic import transcripts_dir
+    tdir = transcripts_dir(_TV_N_TURNS, seed=_TV_SEED, **_TV_KNOBS)
+    cols = ["conv_id", "role", "text", "tool", "ts", "turn_idx"]
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT({c}) AS cnt, "
+        f"COUNT(*) - COUNT({c}) AS n_missing, "
+        f"COUNT(DISTINCT {c}) AS n_distinct "
+        f"FROM read_parquet('{tdir}/part-*.parquet')"
+        for c in cols) + " ORDER BY column_name"
+
+
 def transcript_violation_counts(sf_dir: str) -> pa.Table:
     """Flagship ORACLED (r3 verdict item 1): run the full validation
     pipeline (profile + constraints + worker-side verdict/violation writes +
@@ -1451,6 +1482,7 @@ QUERIES = {
     "quality_scores_documents": quality_scores_documents,
     "transcript_validation": transcript_validation,
     "transcript_violation_counts": transcript_violation_counts,
+    "transcript_profile_stats": transcript_profile_stats,
 }
 
 
@@ -1576,6 +1608,7 @@ def _transcript_counts_sql() -> str:
 
 ORACLE_SQL = {
     "transcript_violation_counts": _transcript_counts_sql(),
+    "transcript_profile_stats": _transcript_profile_sql(),
     "profile_lineitem_stats": _PROFILE_STATS_SQL,
     "events_value_stats": (
         f"SELECT COUNT(value) AS cnt, ROUND((MIN(value)) + 1e-9, {_R}) AS min_val, "

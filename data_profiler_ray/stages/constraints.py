@@ -28,6 +28,14 @@ Execution shape (SURVEY.md §3.4):
   away so the wide payload never enters the exchange) and run as
   ``groupby(conv_id).map_groups`` with an in-group sort.  Shuffle volume is
   o(input) because the text column dominates transcript bytes.
+  Boundary carry: block-boundary conversations re-emit RAW (narrow) rows
+  for the exact driver re-check — bounded by conversation length, which
+  unlike per-user event streams has a natural ceiling. A conversation
+  rivaling the dataset in size would degrade to a driver pull; the
+  upgrade path is the ``stages/segments.py`` CutKernel partial-merge
+  protocol (r4): dup/ts/role/tool counts merge associatively and turn
+  contiguity merges via per-piece (dense, first, last) triples, with raw
+  rows only for pieces that are anomalous in isolation.
   Hot conversations: Ray Data's sort-based groupby shuffle spills oversized
   groups rather than OOMing; per-turn-local subsets of these checks could be
   salted ``(conv_id, turn_idx % k)``, but duplicate detection and gap
