@@ -334,3 +334,52 @@ def test_whale_rolling_carry_bounded(whale_events_dir):
     out = _collect(rolling_window(ds, "user_id", ["ts", "event_id"],
                                   "value", window=5))
     assert len(out) == 1_000_000
+
+
+@pytest.mark.parametrize("width", [2, 5, 11])
+def test_cut_kernels_match_oracle_across_widths(width, tmp_path_factory):
+    """Session/gaps cut kernels vs DuckDB at several block geometries —
+    different widths cut different keys at different piece boundaries
+    (k=1 chain merges, k>=2 ordinal offsets, junction gaps)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from data_profiler_ray.pipelines.queries import (_GAPS_SCHEMA,
+                                                     _SESS_SCHEMA, _GapsCut,
+                                                     _SessionCut, _gaps_block,
+                                                     _session_block)
+    d = tmp_path_factory.mktemp(f"cutw{width}")
+    rng = np.random.default_rng(width)
+    n = 20_000
+    user = rng.integers(0, 40, n)          # few keys → many cut runs
+    ts = (np.datetime64("2025-05-01", "us").astype(np.int64)
+          + np.sort(rng.integers(0, 3_600_000, n)) * 1_000_000
+          + user * 7)                       # interleaved users, some >30min gaps
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(rng.integers(0, 50, n).astype(np.float64)),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    ds = ray.data.read_parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    from data_profiler_ray.pipelines.queries import ORACLE_SQL
+    for block_fn, schema, cut, name, sortk in [
+            (_gaps_block, _GAPS_SCHEMA, _GapsCut(), "user_event_gaps",
+             ["user_id"]),
+            (_session_block, _SESS_SCHEMA, _SessionCut(), "sessionize_events",
+             ["user_id", "session_id"])]:
+        order = (["ts", "event_id"])
+        got = _collect(sorted_segment_map(
+            ds.select_columns(["user_id", "event_id", "ts", "value"]),
+            "user_id", order, block_fn, schema,
+            width=width, cut_kernel=cut))
+        exp = con.execute(ORACLE_SQL[name]).fetchdf()
+        got = got.sort_values(sortk, kind="stable").reset_index(drop=True)
+        exp = exp.sort_values(sortk, kind="stable").reset_index(drop=True)
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
