@@ -1149,6 +1149,30 @@ def dup_clusters_documents(sf_dir: str) -> pa.Table:
         "cluster_rep": pa.array([r[1] for r in rows], pa.int64())})
 
 
+def clean_corpus_documents(sf_dir: str) -> pa.Table:
+    """Composed corpus-cleaning pipeline (the canonical training-data
+    preprocessing chain): quality filter (score ≥ 0.45, unrounded compare)
+    → language filter (source lang = 'en') → exact dedup keep-min. The two
+    row-local filters fuse into ONE stateless map_batches pass (no
+    materialization between stages); dedup is the distributed sort path."""
+    from ..functions.dedup import exact_dedup
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "lang"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        scored = quality_score_batch(b)
+        q = scored.column("quality_score").to_numpy(zero_copy_only=False)
+        is_en = pc.equal(b.column("lang"), "en").to_numpy(
+            zero_copy_only=False)
+        return b.filter(pa.array((q >= 0.45) & is_en)).select(
+            ["doc_id", "text"])
+
+    kept = ds.map_batches(filt, batch_format="pyarrow")
+    out = _tbl(exact_dedup(kept, ["text"], "doc_id"))
+    ids = np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 _STRAT_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.2}
 _STRAT_DEFAULT = 0.1
 
@@ -1468,6 +1492,7 @@ QUERIES = {
     "jaccard_dup_pairs_documents": jaccard_dup_pairs_documents,
     "dup_clusters_documents": dup_clusters_documents,
     "stratified_sample_documents": stratified_sample_documents,
+    "clean_corpus_documents": clean_corpus_documents,
     "term_topk_documents": term_topk_documents,
     "simhash_candidates_documents": simhash_candidates_documents,
     "embedding_dup_pairs": embedding_dup_pairs_query,
@@ -1521,6 +1546,30 @@ def _langid_sql() -> str:
         f"WHEN {greatest} * 1.0 / n_toks < 0.05 THEN 'und' "
         + " ".join(case) + f" ELSE '{langs[-1]}' END AS lang_pred "
         "FROM s ORDER BY doc_id")
+
+
+# shared quality-score CTEs + unrounded score expression (per-token CTE
+# mirrors the engine's whitespace tokenization exactly, INCLUDING empty
+# tokens from leading/trailing whitespace — see quality_scores notes)
+_QUALITY_CTES = (
+    "tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+    "'\\s+')) AS tok FROM documents), "
+    "rep AS (SELECT doc_id, MAX(c) AS max_tok FROM (SELECT doc_id, tok, "
+    "COUNT(*) AS c FROM tok GROUP BY doc_id, tok) GROUP BY doc_id), "
+    "hits AS (SELECT doc_id, SUM(CASE WHEN tok IN " + _SW_EN_SQL + " "
+    "THEN 1 ELSE 0 END) AS h_en FROM tok GROUP BY doc_id), "
+    "base AS (SELECT doc_id, length(text) AS n_chars, "
+    "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+    "len(regexp_extract_all(text, '[0-9]')) AS n_digit FROM documents)")
+
+_QUALITY_EXPR = (
+    "0.2 * LEAST(b.n_chars / 200.0, 1) "
+    "+ 0.2 * LEAST(b.n_words / 50.0, 1) "
+    "+ 0.2 * (1 - LEAST(b.n_digit * 4.0 / GREATEST(b.n_chars, 1), 1)) "
+    "+ 0.2 * LEAST((CASE WHEN b.n_words > 0 THEN h.h_en ELSE 0 END) "
+    "* 4.0 / GREATEST(b.n_words, 1), 1) "
+    "+ 0.2 * (1 - LEAST(GREATEST((r.max_tok * 1.0 "
+    "/ GREATEST(b.n_words, 1) - 0.2) * 2, 0), 1))")
 
 
 # shared word-3-shingle Jaccard CTEs (pair query + cluster closure oracle)
@@ -1832,23 +1881,8 @@ ORACLE_SQL = {
     # by leading/trailing whitespace (and the single '' token of an empty
     # doc) — the engine's repetition/denominator semantics count them
     "quality_scores_documents": (
-        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
-        "'\\s+')) AS tok FROM documents), "
-        "rep AS (SELECT doc_id, MAX(c) AS max_tok FROM (SELECT doc_id, tok, "
-        "COUNT(*) AS c FROM tok GROUP BY doc_id, tok) GROUP BY doc_id), "
-        "hits AS (SELECT doc_id, SUM(CASE WHEN tok IN " + _SW_EN_SQL + " "
-        "THEN 1 ELSE 0 END) AS h_en FROM tok GROUP BY doc_id), "
-        "base AS (SELECT doc_id, length(text) AS n_chars, "
-        "len(regexp_extract_all(text, '\\S+')) AS n_words, "
-        "len(regexp_extract_all(text, '[0-9]')) AS n_digit FROM documents) "
-        "SELECT b.doc_id, "
-        "ROUND((0.2 * LEAST(b.n_chars / 200.0, 1) "
-        " + 0.2 * LEAST(b.n_words / 50.0, 1) "
-        " + 0.2 * (1 - LEAST(b.n_digit * 4.0 / GREATEST(b.n_chars, 1), 1)) "
-        " + 0.2 * LEAST((CASE WHEN b.n_words > 0 THEN h.h_en ELSE 0 END) "
-        "* 4.0 / GREATEST(b.n_words, 1), 1) "
-        " + 0.2 * (1 - LEAST(GREATEST((r.max_tok * 1.0 "
-        "/ GREATEST(b.n_words, 1) - 0.2) * 2, 0), 1))) + 1e-9, 6) "
+        "WITH " + _QUALITY_CTES + " "
+        f"SELECT b.doc_id, ROUND(({_QUALITY_EXPR}) + 1e-9, 6) "
         "AS quality_score, "
         "ROUND(((CASE WHEN b.n_words > 0 THEN h.h_en ELSE 0 END) * 1.0 "
         "/ GREATEST(b.n_words, 1)) + 1e-9, 6) AS stopword_ratio, "
@@ -1856,5 +1890,16 @@ ORACLE_SQL = {
         "AS repetition_ratio "
         "FROM base b JOIN rep r USING (doc_id) JOIN hits h USING (doc_id) "
         "ORDER BY b.doc_id"),
+    # composed cleaning pipeline: quality >= 0.45 AND source lang = 'en'
+    # AND exact-dedup keep-min — same CTEs, same unrounded threshold
+    # comparison as the engine (identical IEEE expression)
+    "clean_corpus_documents": (
+        "WITH " + _QUALITY_CTES + ", "
+        f"q AS (SELECT b.doc_id, ({_QUALITY_EXPR}) AS qs "
+        "FROM base b JOIN rep r USING (doc_id) JOIN hits h USING (doc_id)), "
+        "f AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING "
+        "(doc_id) WHERE q.qs >= 0.45 AND d.lang = 'en') "
+        "SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text "
+        "ORDER BY doc_id"),
     "language_id_documents": _langid_sql(),
 }
