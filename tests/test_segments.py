@@ -383,3 +383,62 @@ def test_cut_kernels_match_oracle_across_widths(width, tmp_path_factory):
         got = got[sorted(got.columns)]
         exp = exp[sorted(exp.columns)]
         pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+
+
+def test_cut_kernels_fuzz_random_shapes(tmp_path_factory):
+    """Randomized fixtures (singleton users, equal-ts runs, skewed key
+    mass, tiny/huge pieces) × random widths: session + gaps + lag cut
+    kernels must match DuckDB exactly. Seeded loop — a failing case prints
+    its seed for replay."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from data_profiler_ray.pipelines.queries import (_GAPS_SCHEMA,
+                                                     _LAG_SCHEMA,
+                                                     _SESS_SCHEMA, _GapsCut,
+                                                     _LagCut, _SessionCut,
+                                                     _gaps_block, _lag_block,
+                                                     _session_block,
+                                                     ORACLE_SQL)
+    d = tmp_path_factory.mktemp("fuzz")
+    for seed in (101, 202, 303):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(500, 4000))
+        n_users = int(rng.integers(1, 12))  # few users → cut everywhere
+        user = rng.integers(0, n_users, n)
+        base = np.datetime64("2025-06-01", "us").astype(np.int64)
+        # mix second-scale and hour-scale gaps; FORCE some equal-ts rows
+        ts = base + np.sort(rng.choice(
+            rng.integers(0, 200_000, n // 2), size=n)) * 1_000_000
+        tbl = pa.table({
+            "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "user_id": pa.array(user, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(rng.integers(0, 9, n).astype(np.float64)),
+        })
+        f = str(d / f"events_{seed}.parquet")
+        pq.write_table(tbl, f)
+        ds = ray.data.read_parquet(f)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{f}')")
+        width = int(rng.integers(2, 9))
+        for block_fn, schema, cut, name, sortk in [
+                (_gaps_block, _GAPS_SCHEMA, _GapsCut(), "user_event_gaps",
+                 ["user_id"]),
+                (_session_block, _SESS_SCHEMA, _SessionCut(),
+                 "sessionize_events", ["user_id", "session_id"]),
+                (_lag_block, _LAG_SCHEMA, _LagCut(), "lag_diff_events",
+                 ["event_id"])]:
+            got = _collect(sorted_segment_map(
+                ds.select_columns(["user_id", "event_id", "ts", "value"]),
+                "user_id", ["ts", "event_id"], block_fn, schema,
+                width=width, cut_kernel=cut))
+            exp = con.execute(ORACLE_SQL[name]).fetchdf()
+            got = got.sort_values(sortk, kind="stable").reset_index(drop=True)
+            exp = exp.sort_values(sortk, kind="stable").reset_index(drop=True)
+            got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+            except AssertionError as ex:
+                raise AssertionError(
+                    f"seed={seed} width={width} kernel={name}: {ex}") from ex
