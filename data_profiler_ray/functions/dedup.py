@@ -140,12 +140,26 @@ class MinHasher:
         r = self.rows_per_band
         band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n_docs)
         doc_rep = np.tile(ids, self.bands)
+        # band bucket = FNV-1a combine of the band's r signature words +
+        # splitmix finalizer — r vector ops per band. (Replaced
+        # pd.util.hash_array, which routed the structured view through a
+        # CATEGORICAL factorize — measured 52 % of the whole UDF. Equal
+        # bands still hash equal by construction; a cross-band collision
+        # only creates a spurious candidate, which verify_jaccard drops.)
         hashes = np.empty(self.bands * n_docs, dtype=np.int64)
-        for bidx in range(self.bands):
-            block = sig[:, bidx * r:(bidx + 1) * r]
-            h = pd.util.hash_array(np.ascontiguousarray(block).view(
-                [("", np.uint64)] * r).ravel()).astype(np.int64)
-            hashes[bidx * n_docs:(bidx + 1) * n_docs] = h
+        fnv = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for bidx in range(self.bands):
+                block = sig[:, bidx * r:(bidx + 1) * r]
+                h = np.full(n_docs, 1469598103934665603, dtype=np.uint64)
+                for c in range(r):
+                    h = (h ^ block[:, c]) * fnv
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xFF51AFD7ED558CCD)
+                h ^= h >> np.uint64(33)
+                h *= np.uint64(0xC4CEB9FE1A85EC53)
+                h ^= h >> np.uint64(33)
+                hashes[bidx * n_docs:(bidx + 1) * n_docs] = h.view(np.int64)
         return pa.table({
             "band": pa.array(band_ids, pa.int32()),
             "bucket": pa.array(hashes, pa.int64()),
