@@ -388,7 +388,19 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential-DCT JPEG → HxWx3 uint8 RGB (grayscale
-    replicated to 3 channels). Raises ValueError on non-baseline files."""
+    replicated to 3 channels). Raises ValueError on non-baseline OR
+    malformed files — truncated entropy segments, undeclared table ids and
+    short marker bodies all surface as ValueError so actor-pool callers
+    (``stages/multimodal.py``) can catch one exception type uniformly."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"jpeg: malformed payload ({e!r})") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2

@@ -96,10 +96,13 @@ def _sample_kmeans(ds: "ray.data.Dataset", emb_col: str, n_clusters: int,
     item 4): uniform ``random_sample`` over ALL blocks — ``limit()`` takes
     the FIRST blocks, so on input sorted/partitioned by cluster the
     centroids only saw the leading clusters and recall collapsed — then a
-    seeded driver down-select to exactly ``sample_rows``. The count() is a
-    parquet-metadata read on fresh reads; the 1.25× oversample makes a
-    short random draw (< sample_rows after sampling) vanishingly rare."""
-    sel = ds.select_columns([emb_col])
+    seeded driver down-select to exactly ``sample_rows``. The narrow
+    projection is MATERIALIZED once before count()+random_sample: on a lazy
+    derived dataset the two consumers would otherwise each re-execute the
+    full upstream plan (the shuffle_width double-execution trap, ADVICE
+    r4); on a fresh parquet read it costs the same single narrow scan. The
+    1.25× oversample makes a short random draw vanishingly rare."""
+    sel = ds.select_columns([emb_col]).materialize()
     n = sel.count()
     if n > sample_rows:
         frac = min(1.0, (sample_rows * 1.25 + 256.0) / n)

@@ -552,9 +552,11 @@ def _session_block(batch: pa.Table, starts: np.ndarray, ends: np.ndarray
     """Vectorized multi-user sessionization (batch sorted by (user_id, ts,
     event_id)): session boundaries = user change-points OR >30-min gaps;
     all per-session reductions via reduceat — no per-user dispatch.
-    Session sums are computed from raw values within one kernel call (a cut
-    user is re-stitched whole by stages/segments), so no partial-sum merge
-    ever happens."""
+    Cut users go through the ``_SessionCut`` CutKernel: block-boundary
+    pieces ship fixed-size partials whose float ``sum_value`` partials ARE
+    merged on the driver — a different FP association than one whole-segment
+    reduceat; the query-level ``_round`` guard absorbs the ULP-scale
+    difference (and the oracle rounds identically)."""
     from ..stages.segments import segment_reduce
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     val = batch.column("value").to_numpy(zero_copy_only=False).astype(

@@ -172,7 +172,7 @@ def run_validation(input_dir: str, cfg: ValidationConfig,
             writer = _PartOutputWriter(os.path.join(out, "parts"),
                                        ccfg.max_violations_per_kind)
             # ONE pass over the checked stream (the writer skips the
-            # __boundary__ rows inline); the boundary-fixed conversations
+            # cut-piece partial rows inline); the merged cut conversations
             # (o(#blocks) rows, already on the driver) go through the same
             # writer directly — no extra filter pass, no union op
             tallies = _concat_any(checked.map_batches(
@@ -357,8 +357,9 @@ class _PartOutputWriter:
         from ..stages.constraints import split_verdicts
         if batch.num_rows == 0:
             return _TALLY_SCHEMA.empty_table()
-        batch = batch.filter(pc.not_equal(batch.column("kind"),
-                                          "__boundary__"))
+        from ..stages.constraints import _META_KINDS
+        batch = batch.filter(pc.invert(pc.is_in(
+            batch.column("kind"), value_set=pa.array(_META_KINDS))))
         if batch.num_rows == 0:
             return _TALLY_SCHEMA.empty_table()
         is_v = pc.equal(batch.column("kind"), "__verdict__")

@@ -28,14 +28,17 @@ Execution shape (SURVEY.md §3.4):
   away so the wide payload never enters the exchange) and run as
   ``groupby(conv_id).map_groups`` with an in-group sort.  Shuffle volume is
   o(input) because the text column dominates transcript bytes.
-  Boundary carry: block-boundary conversations re-emit RAW (narrow) rows
-  for the exact driver re-check — bounded by conversation length, which
-  unlike per-user event streams has a natural ceiling. A conversation
-  rivaling the dataset in size would degrade to a driver pull; the
-  upgrade path is the ``stages/segments.py`` CutKernel partial-merge
-  protocol (r4): dup/ts/role/tool counts merge associatively and turn
-  contiguity merges via per-piece (dense, first, last) triples, with raw
-  rows only for pieces that are anomalous in isolation.
+  Boundary carry (r5, the ``stages/segments.py`` CutKernel protocol): a
+  block-boundary conversation piece whose turn diffs are all exactly 1 and
+  whose ts is non-decreasing ships ONE fixed-size ``__cutpart__`` partial
+  row (n, first, last, ts_first, ts_last, bad-role/tool counts); dup/ts/
+  role/tool counts merge associatively across pieces and turn contiguity
+  merges via interval arithmetic over the per-piece (first, last) ranges —
+  driver carry is o(#blocks) bytes even when ONE conversation spans every
+  block. Only a piece that is anomalous IN ISOLATION (internal dup, gap,
+  or ts regression) ships its raw (turn, ts) pairs as a ``__rawpiece__``
+  row, so the driver pull is bounded by the anomalous pieces alone, never
+  by conversation length.
   Hot conversations: Ray Data's sort-based groupby shuffle spills oversized
   groups rather than OOMing; per-turn-local subsets of these checks could be
   salted ``(conv_id, turn_idx % k)``, but duplicate detection and gap
@@ -251,9 +254,11 @@ class _BlockChecker:
       on the clean path; only conversations with an actual turn-structure
       anomaly fall back to the exact per-conversation routine to emit
       detailed violation rows), and
-    - re-emits the first/last group's raw rows as ``__boundary__`` rows for
-      a second, tiny pass (o(#blocks · conv_len) rows) that re-checks
-      possibly-cut conversations exactly.
+    - emits the first/last group as a mergeable cut-piece partial
+      (``__cutpart__``: one fixed-size row when the piece is clean in
+      isolation; ``__rawpiece__``: a compact (turn, ts) IPC cell
+      otherwise), merged exactly on the driver in o(#blocks) bytes
+      (``_merge_cut_pieces``).
     """
 
     def __init__(self, cfg: ConstraintConfig, emit_row_violations: bool = False,
@@ -342,16 +347,11 @@ class _BlockChecker:
         out_tables: list[pa.Table] = []
 
         if self.emit_row_violations:
-            # row-local violations for interior rows only; boundary groups
-            # get theirs in the exact second pass (no double-emission)
-            if self.assume_complete:
-                lo, hi = 0, n
-            else:
-                lo, hi = int(ends[0]), int(starts[g_count - 1])
-            if hi > lo:
-                interior = batch.slice(lo, hi - lo)
-                out_tables.extend(_row_violation_rows(
-                    interior, cfg, self.role_arr, self.tool_arr))
+            # row-local violations are block-local context-free checks:
+            # emit them for the WHOLE block (boundary groups included) —
+            # the cut-piece merge never re-emits row-local rows
+            out_tables.extend(_row_violation_rows(
+                batch, cfg, self.role_arr, self.tool_arr))
 
         # clean interior conversations → vectorized verdict rows
         c_idx = np.flatnonzero(clean)
@@ -378,51 +378,224 @@ class _BlockChecker:
             out_tables.append(_check_conversation(sub, cfg, self.role_set,
                                                   self.tool_set))
 
-        # boundary groups → re-emit raw rows for the exact second pass
+        # boundary groups → mergeable cut-piece partials (CutKernel
+        # protocol, segments.py): a clean piece ships ONE fixed-size
+        # __cutpart__ row; an anomalous-in-isolation piece ships its
+        # (turn, ts) pairs as one compact __rawpiece__ IPC cell
         if not self.assume_complete:
             for g in np.unique([0, g_count - 1]):
-                sub = batch.slice(int(starts[g]), int(lens[g]))
-                out_tables.append(self._encode_boundary(sub))
+                s, e = int(starts[g]), int(ends[g])
+                piece_clean = True
+                if e - s > 1:
+                    piece_clean = bool(np.all(np.diff(turn[s:e]) == 1))
+                    if piece_clean and has_ts:
+                        piece_clean = bool(np.all(np.diff(ts[s:e]) >= 0))
+                out_tables.append(self._encode_piece(
+                    batch, s, e, turn, ts if has_ts else None, piece_clean,
+                    int(n_bad_role[g]), int(n_bad_tool[g])))
 
         return pa.concat_tables(out_tables) if out_tables else _empty_violations()
 
-    def _encode_boundary(self, sub: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        k = sub.num_rows
-        ts = (sub.column(cfg.ts_column).cast(pa.int64()).cast(pa.string())
-              if cfg.ts_column in sub.column_names
-              else pa.nulls(k, pa.string()))
-        role = (sub.column(cfg.role_column).cast(pa.string())
-                if cfg.role_column in sub.column_names
-                else pa.nulls(k, pa.string()))
-        tool = (sub.column(cfg.tool_column).cast(pa.string())
-                if cfg.tool_column in sub.column_names
-                else pa.nulls(k, pa.string()))
-        part = (sub.column("part").cast(pa.string())
-                if "part" in sub.column_names else pa.nulls(k, pa.string()))
+    def _encode_piece(self, batch: pa.Table, s: int, e: int,
+                      turn: np.ndarray, ts: np.ndarray | None,
+                      clean: bool, nbr: int, nbt: int) -> pa.Table:
+        conv_id = batch.column("conv_id")[s].as_py()
+        part = (batch.column("part")[s].as_py()
+                if "part" in batch.column_names else None)
+        if clean:
+            tsf = str(int(ts[s])) if ts is not None else ""
+            tsl = str(int(ts[e - 1])) if ts is not None else ""
+            detail = (f"{e - s}|{int(turn[s])}|{int(turn[e - 1])}|"
+                      f"{tsf}|{tsl}|{nbr}|{nbt}")
+            kind, col, val = "__cutpart__", None, None
+        else:
+            import base64
+            from .segments import _ipc_bytes
+            cols = {"turn": pa.array(turn[s:e].astype(np.int64))}
+            if ts is not None:
+                cols["ts"] = pa.array(ts[s:e])
+            detail = base64.b64encode(_ipc_bytes(pa.table(cols))).decode()
+            kind, col, val = "__rawpiece__", str(nbr), str(nbt)
         return pa.table({
-            "kind": pa.array(["__boundary__"] * k, pa.string()),
-            "conv_id": sub.column("conv_id").cast(pa.string()),
-            "turn_idx": sub.column(cfg.order_column).cast(pa.int32()),
-            "column": tool,    # tool rides in `column`
-            "value": role,     # role rides in `value`
-            "detail": ts,      # epoch-µs rides in `detail`
-            "part": part,
+            "kind": pa.array([kind], pa.string()),
+            "conv_id": pa.array([conv_id], pa.string()),
+            "turn_idx": pa.array([int(turn[s])], pa.int32()),
+            "column": pa.array([col], pa.string()),
+            "value": pa.array([val], pa.string()),
+            "detail": pa.array([detail], pa.string()),
+            "part": pa.array([part], pa.string()),
         }, schema=VIOLATION_SCHEMA)
 
 
-def _decode_boundary(cfg: ConstraintConfig, group: pa.Table) -> pa.Table:
-    cols = {
-        "conv_id": group.column("conv_id"),
-        cfg.order_column: group.column("turn_idx"),
-        cfg.role_column: group.column("value"),
-        cfg.tool_column: group.column("column"),
-        "part": group.column("part"),
+_META_KINDS = ("__cutpart__", "__rawpiece__")
+
+
+def _decode_piece(row: dict) -> dict:
+    """One cut piece from its carried partial row (merge-side inverse of
+    ``_BlockChecker._encode_piece``)."""
+    if row["kind"] == "__cutpart__":
+        n, first, last, tsf, tsl, nbr, nbt = row["detail"].split("|")
+        first, last = int(first), int(last)
+        return {
+            "n": int(n), "first": first, "last": last,
+            "ts_first": int(tsf) if tsf else None,
+            "ts_last": int(tsl) if tsl else None,
+            "nbr": int(nbr), "nbt": int(nbt), "n_dup_int": 0,
+            "intervals": [(first, last)], "dup_vals": [], "ts_regs": [],
+            "uniq": None, "counts": None, "part": row["part"],
+        }
+    import base64
+    from .segments import _ipc_table
+    tbl = _ipc_table(base64.b64decode(row["detail"]))
+    t = tbl.column("turn").to_numpy(zero_copy_only=False)
+    order = np.argsort(t, kind="stable")
+    t = t[order]
+    uniq, counts = np.unique(t, return_counts=True)
+    brk = np.flatnonzero(np.diff(uniq) > 1)
+    iv_s = np.r_[0, brk + 1]
+    iv_e = np.r_[brk, uniq.size - 1]
+    piece = {
+        "n": int(t.size), "first": int(t[0]), "last": int(t[-1]),
+        "ts_first": None, "ts_last": None,
+        "nbr": int(row["column"] or 0), "nbt": int(row["value"] or 0),
+        "n_dup_int": int(t.size - uniq.size),
+        "intervals": [(int(uniq[a]), int(uniq[b]))
+                      for a, b in zip(iv_s, iv_e)],
+        "dup_vals": [int(v) for v in uniq[counts > 1]],
+        "ts_regs": [], "uniq": uniq, "counts": counts, "part": row["part"],
     }
-    detail = group.column("detail")
-    if detail.null_count < len(detail):
-        cols[cfg.ts_column] = detail.cast(pa.int64()).cast(pa.timestamp("us"))
-    return pa.table(cols)
+    if "ts" in tbl.column_names:
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False)[order]
+        piece["ts_first"], piece["ts_last"] = int(ts[0]), int(ts[-1])
+        d = np.diff(ts)
+        piece["ts_regs"] = [(int(t[i + 1]), int(-d[i]))
+                            for i in np.flatnonzero(d < 0)]
+    return piece
+
+
+def _merge_cut_pieces(cfg: ConstraintConfig, conv_id: str,
+                      pieces: list[dict]) -> pa.Table:
+    """Driver-side associative merge of a cut conversation's pieces —
+    exact violation rows + verdict from o(#pieces) state (interval
+    arithmetic over dense ranges; raw arrays only for anomalous pieces).
+    Mirrors ``_check_conversation`` semantics row for row."""
+    cap = cfg.max_violations_per_kind
+    pieces.sort(key=lambda p: (p["first"], p["last"]))
+    part = pieces[0]["part"]
+    n_total = sum(p["n"] for p in pieces)
+    n_dup = sum(p["n_dup_int"] for p in pieces)
+    n_bad_role = sum(p["nbr"] for p in pieces)
+    n_bad_tool = sum(p["nbt"] for p in pieces)
+
+    dup_cand: set[int] = set()
+    for p in pieces:
+        dup_cand.update(p["dup_vals"])
+    for a, b in zip(pieces, pieces[1:]):
+        if a["last"] == b["first"]:
+            n_dup += 1
+            dup_cand.add(a["last"])
+
+    def occ(v: int) -> int:
+        c = 0
+        for p in pieces:
+            if v < p["first"] or v > p["last"]:
+                continue
+            if p["uniq"] is None:
+                c += 1  # clean piece: dense, each value exactly once
+            else:
+                i = int(np.searchsorted(p["uniq"], v))
+                if i < p["uniq"].size and p["uniq"][i] == v:
+                    c += int(p["counts"][i])
+        return c
+
+    v_kind: list[str] = []
+    v_turn: list[int] = []
+    v_detail: list[str] = []
+    for v in sorted(dup_cand)[:cap]:
+        v_kind.append("duplicate_key")
+        v_turn.append(v)
+        v_detail.append(f"count={occ(v)}")
+
+    # merged distinct-value set as disjoint closed intervals (pieces are
+    # value-ordered by the global sort, so ranges touch at most at a
+    # single boundary value)
+    ivs: list[list[int]] = []
+    for p in pieces:
+        for lo, hi in p["intervals"]:
+            if ivs and lo <= ivs[-1][1] + 1:
+                ivs[-1][1] = max(ivs[-1][1], hi)
+            else:
+                ivs.append([lo, hi])
+    D = sum(hi - lo + 1 for lo, hi in ivs)
+
+    n_gap = 0
+    if cfg.require_contiguous_turns and D and ivs != [[0, D - 1]]:
+        in_range = 0
+        missing: list[int] = []
+        cur = 0
+        for lo, hi in ivs:
+            lo_c, hi_c = max(lo, 0), min(hi, D - 1)
+            if lo_c > hi_c:
+                continue
+            if lo_c > cur and len(missing) < cap:
+                missing.extend(range(cur, min(lo_c, cur + cap - len(missing))))
+            in_range += hi_c - lo_c + 1
+            cur = max(cur, hi_c + 1)
+        if cur < D and len(missing) < cap:
+            missing.extend(range(cur, min(D, cur + cap - len(missing))))
+        extra: list[int] = []
+        for lo, hi in ivs:  # values below 0, ascending
+            if lo < 0 and len(extra) < cap:
+                extra.extend(range(lo, min(hi, -1, lo + cap - len(extra) - 1)
+                                   + 1))
+        for lo, hi in ivs:  # values beyond D-1, ascending
+            if hi > D - 1 and len(extra) < cap:
+                a = max(lo, D)
+                extra.extend(range(a, min(hi, a + cap - len(extra) - 1) + 1))
+        n_missing = D - in_range
+        n_extra = D - in_range
+        n_gap = n_missing + n_extra
+        for t in missing:
+            v_kind.append("turn_gap")
+            v_turn.append(t)
+            v_detail.append("missing turn index")
+        for t in extra:
+            v_kind.append("turn_gap")
+            v_turn.append(t)
+            v_detail.append("out-of-range turn index")
+
+    n_ts = 0
+    ts_rows: list[tuple[int, int]] = []
+    prev = None
+    for p in pieces:
+        if (prev is not None and prev["ts_last"] is not None
+                and p["ts_first"] is not None
+                and p["ts_first"] < prev["ts_last"]):
+            n_ts += 1
+            ts_rows.append((p["first"], prev["ts_last"] - p["ts_first"]))
+        n_ts += len(p["ts_regs"])
+        ts_rows.extend(p["ts_regs"])
+        prev = p
+    for t, delta in ts_rows[:cap]:
+        v_kind.append("ts_regression")
+        v_turn.append(t)
+        v_detail.append(f"ts decreased by {delta}us")
+
+    passed = not (n_dup or n_gap or n_ts or n_bad_role or n_bad_tool)
+    k = len(v_kind)
+    return pa.table({
+        "kind": pa.array(v_kind + ["__verdict__"], pa.string()),
+        "conv_id": pa.array([conv_id] * (k + 1), pa.string()),
+        "turn_idx": pa.array(v_turn + [n_total], pa.int32()),
+        "column": pa.array([None] * (k + 1), pa.string()),
+        "value": pa.array([None] * (k + 1), pa.string()),
+        "detail": pa.array(
+            v_detail
+            + [f"{n_dup}|{n_gap}|{n_ts}|{n_bad_role}|{n_bad_tool}|"
+               f"{int(passed)}"],
+            pa.string()),
+        "part": pa.array([part] * (k + 1), pa.string()),
+    }, schema=VIOLATION_SCHEMA)
 
 
 def conversation_checks_bucketed(ds: "ray.data.Dataset",
@@ -473,14 +646,18 @@ def conversation_checks_bucketed(ds: "ray.data.Dataset",
 
 
 def conversation_checks_parts(ds: "ray.data.Dataset", cfg: ConstraintConfig,
-                              emit_row_violations: bool = False
+                              emit_row_violations: bool = False,
+                              stats: dict | None = None
                               ) -> tuple["ray.data.Dataset", pa.Table]:
     """Internal split form of ``conversation_checks``: returns
     ``(checked, fixed)`` where ``checked`` is the materialized block-check
-    stream STILL containing ``__boundary__`` rows (consumers filter them
-    inline — avoids an extra full pass over the stream) and ``fixed`` is
-    the driver-computed exact re-check of the o(#blocks) block-boundary
-    conversations (violations + verdict rows, VIOLATION_SCHEMA).
+    stream STILL containing ``__cutpart__``/``__rawpiece__`` partial rows
+    (consumers filter them inline — avoids an extra full pass over the
+    stream) and ``fixed`` is the driver-computed CutKernel merge of the
+    o(#blocks) cut-piece partials (violations + verdict rows,
+    VIOLATION_SCHEMA). ``stats`` (optional) receives ``carry_bytes`` /
+    ``carry_rows`` / ``n_blocks`` for tests asserting the o(#blocks)
+    carry bound.
     """
     cols = [cfg.group_column, cfg.order_column]
     names = ds.schema().names
@@ -488,8 +665,6 @@ def conversation_checks_parts(ds: "ray.data.Dataset", cfg: ConstraintConfig,
         if c in names:
             cols.append(c)
     narrow = ds.select_columns(cols)
-    role_set = set(cfg.role_domain)
-    tool_set = set(cfg.tool_registry) if cfg.tool_registry else None
 
     # Coalesce before the range-partition sort: with many small input blocks
     # Ray's sort fans B input blocks into ~4B tiny partitions and the
@@ -511,34 +686,31 @@ def conversation_checks_parts(ds: "ray.data.Dataset", cfg: ConstraintConfig,
         batch_format="pyarrow", batch_size=None).materialize()
     # `checked` is o(input) but NOT O(1): one verdict row per conversation.
     # It stays DISTRIBUTED (materialized into the object store); only the
-    # ≤2 possibly-cut conversations per block (`__boundary__` raw rows,
-    # o(#blocks · conv_len)) are pulled to the driver for the exact re-check
-    # — cheaper than a second distributed groupby in sort machinery.
-    boundary_tbls = [
+    # ≤2 cut-piece PARTIAL rows per block (fixed-size `__cutpart__`, plus
+    # compact `__rawpiece__` (turn, ts) cells for the rare
+    # anomalous-in-isolation pieces) are pulled to the driver and merged
+    # associatively per conversation — o(#blocks) driver bytes even when
+    # one whale conversation spans every block (VERDICT r4 item 1).
+    meta_tbls = [
         t.cast(VIOLATION_SCHEMA) for t in checked.map_batches(
-            lambda b: b.filter(pc.equal(b.column("kind"), "__boundary__")),
+            lambda b: b.filter(pc.is_in(b.column("kind"),
+                                        value_set=pa.array(_META_KINDS))),
             batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
-    boundary = (pa.concat_tables(boundary_tbls) if boundary_tbls
-                else _empty_violations())
+    meta = (pa.concat_tables(meta_tbls) if meta_tbls
+            else _empty_violations())
+    if stats is not None:
+        stats["carry_rows"] = meta.num_rows
+        stats["carry_bytes"] = sum(
+            len(d) for d in meta.column("detail").to_pylist() if d)
+        stats["n_blocks"] = checked.num_blocks()
 
     fixed: list[pa.Table] = []
-    if boundary.num_rows:
-        role_arr = pa.array(sorted(role_set), pa.string())
-        tool_arr = (pa.array(sorted(tool_set), pa.string())
-                    if tool_set is not None else None)
-        codes = pc.dictionary_encode(
-            boundary.column("conv_id").combine_chunks())
-        idx = codes.indices.to_numpy(zero_copy_only=False)
-        order = np.argsort(idx, kind="stable")
-        sorted_b = boundary.take(pa.array(order))
-        idx_s = idx[order]
-        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
-        ends = np.append(starts[1:], len(idx_s))
-        for s, e in zip(starts, ends):
-            dec = _decode_boundary(cfg, sorted_b.slice(int(s), int(e - s)))
-            fixed.append(_check_conversation(dec, cfg, role_set, tool_set))
-            if emit_row_violations:
-                fixed.extend(_row_violation_rows(dec, cfg, role_arr, tool_arr))
+    if meta.num_rows:
+        by_conv: dict[str, list[dict]] = {}
+        for row in meta.to_pylist():
+            by_conv.setdefault(row["conv_id"], []).append(_decode_piece(row))
+        for conv_id in sorted(by_conv):
+            fixed.append(_merge_cut_pieces(cfg, conv_id, by_conv[conv_id]))
     fixed_tbl = (pa.concat_tables([t.cast(VIOLATION_SCHEMA) for t in fixed])
                  if fixed else VIOLATION_SCHEMA.empty_table())
     return checked, fixed_tbl
@@ -557,7 +729,8 @@ def conversation_checks(ds: "ray.data.Dataset", cfg: ConstraintConfig,
     checked, fixed_tbl = conversation_checks_parts(
         ds, cfg, emit_row_violations=emit_row_violations)
     main = checked.map_batches(
-        lambda b: b.filter(pc.not_equal(b.column("kind"), "__boundary__"))
+        lambda b: b.filter(pc.invert(pc.is_in(
+            b.column("kind"), value_set=pa.array(_META_KINDS))))
         .cast(VIOLATION_SCHEMA),
         batch_format="pyarrow")
     if fixed_tbl.num_rows:

@@ -599,6 +599,30 @@ def test_jpeg_rejects_progressive_marker():
         decode_jpeg(bytes(buf))
 
 
+def test_jpeg_malformed_payloads_raise_valueerror():
+    """ADVICE r4: truncated entropy data, undeclared table ids and short
+    marker bodies must surface as ValueError (the one exception type the
+    multimodal actor stage catches), never IndexError/KeyError/struct.error."""
+    from data_profiler_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    good = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    # truncated entropy segment
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 6])
+    # short marker body (chop right after a DQT length field)
+    i = good.find(b"\xff\xdb")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: i + 3])
+    # undeclared quant-table id in the SOF component spec
+    buf = bytearray(good)
+    j = buf.find(b"\xff\xc0")
+    buf[j + 2 + 2 + 8] = 7  # component 0 Tq → undeclared table 7
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
+    # garbage
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xda\x00\x04\x01\x00")
+
+
 def test_jpeg_features_match_direct_decode():
     """JPEG rows through the actor-pool stage equal featurizing the
     decoded image directly — the gate at multimodal.py is genuinely open."""
