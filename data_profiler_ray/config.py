@@ -24,6 +24,8 @@ class ProfileConfig:
     batch_size: int | None = None   # None = one batch per block (max parallelism)
     merge_shards: int = 32                 # tree-reduction fan-in before driver merge
     types_dict: dict[str, str] | None = None  # user override of detected types
+    geometry_columns: list[str] | None = None  # WKT columns → GeometryAccumulator
+    geometry_crs: str = "EPSG:4326"        # recorded only; no reprojection (gap)
 
 
 @dataclass

@@ -1,0 +1,285 @@
+"""WKT geometry kernels: parse + per-geometry stats + convex hull.
+
+Pure-Python/numpy re-expression of the geometry profiling family the
+reference delegates to shapely/geopandas (``/root/reference/
+stelardataprofiler/tabular_timeseries/variables/geometry.py:89-140``):
+per-geometry bbox / centroid / shoelace area / path length, sampled
+points, and a monotone-chain convex hull over the sampled point cloud.
+
+Scope (VERDICT r4 item 5): 2-D POINT / LINESTRING / POLYGON (+ MULTI*
+variants, holes included). CRS REPROJECTION IS A DOCUMENTED GAP — the
+reference reprojects to a UTM zone before measuring area/length
+(geometry.py:149-170); here stats are computed in the column's native
+coordinates and the recorded ``crs`` is informational only. Z/M
+coordinates and GEOMETRYCOLLECTION raise ValueError.
+
+Formulas are the public standards: shoelace signed area and Green's-
+theorem ring centroid (e.g. Bourke, "Calculating the area and centroid
+of a polygon", 1988), Andrew's monotone chain hull (1979).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+GEOM_TYPES = ("Point", "LineString", "Polygon",
+              "MultiPoint", "MultiLineString", "MultiPolygon")
+
+_HEAD_RE = re.compile(
+    r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|"
+    r"MULTIPOLYGON)\s*(EMPTY|\()", re.IGNORECASE)
+
+STATS_SCHEMA = pa.schema([
+    ("geom_type", pa.string()),
+    ("n_points", pa.int64()),
+    ("xmin", pa.float64()), ("ymin", pa.float64()),
+    ("xmax", pa.float64()), ("ymax", pa.float64()),
+    ("cx", pa.float64()), ("cy", pa.float64()),
+    ("area", pa.float64()), ("length", pa.float64()),
+])
+
+
+def _coords(leaf: str) -> np.ndarray:
+    """Parse 'x y, x y, ...' into an (k, 2) float array."""
+    c = np.fromstring(leaf.replace(",", " "), sep=" ")  # noqa: NPY201 - fast C parse
+    if c.size == 0 or c.size % 2:
+        raise ValueError(f"wkt: bad coordinate list {leaf[:40]!r} "
+                         "(odd count — Z/M coordinates unsupported)")
+    return c.reshape(-1, 2)
+
+
+def _paren_tree(s: str, i: int):
+    """Recursive paren parse from s[i] == '(' → (node, next_i); a node is
+    either a leaf coordinate string or a list of child nodes."""
+    assert s[i] == "("
+    i += 1
+    children = []
+    buf_start = i
+    depth_leaf = True
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth_leaf = False
+            node, i = _paren_tree(s, i)
+            children.append(node)
+        elif ch == ")":
+            if depth_leaf:
+                return s[buf_start:i], i + 1
+            return children, i + 1
+        else:
+            i += 1
+    raise ValueError("wkt: unbalanced parentheses")
+
+
+def parse_wkt(s: str):
+    """Parse one WKT string → (geom_type, parts).
+
+    ``parts`` is a list of (coords, role) with coords an (k,2) array and
+    role one of 'point'|'line'|'exterior'|'hole'. Raises ValueError on
+    malformed / unsupported input.
+    """
+    m = _HEAD_RE.match(s)
+    if not m:
+        raise ValueError(f"wkt: unsupported or malformed geometry {s[:40]!r}")
+    gtype = m.group(1).upper()
+    norm = {"POINT": "Point", "LINESTRING": "LineString",
+            "POLYGON": "Polygon", "MULTIPOINT": "MultiPoint",
+            "MULTILINESTRING": "MultiLineString",
+            "MULTIPOLYGON": "MultiPolygon"}[gtype]
+    if m.group(2).upper() == "EMPTY":
+        return norm, []
+    tree, end = _paren_tree(s, m.end() - 1)
+    if s[end:].strip():
+        raise ValueError(f"wkt: trailing content {s[end:][:20]!r}")
+    parts: list[tuple[np.ndarray, str]] = []
+    if gtype == "POINT":
+        c = _coords(tree)
+        if c.shape[0] != 1:
+            raise ValueError("wkt: POINT must have exactly one coordinate")
+        parts.append((c, "point"))
+    elif gtype == "LINESTRING":
+        parts.append((_coords(tree), "line"))
+    elif gtype == "POLYGON":
+        rings = tree if isinstance(tree, list) else [tree]
+        for j, r in enumerate(rings):
+            parts.append((_coords(r), "exterior" if j == 0 else "hole"))
+    elif gtype == "MULTIPOINT":
+        # both MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+        if isinstance(tree, list):
+            for leaf in tree:
+                parts.append((_coords(leaf), "point"))
+        else:
+            for row in _coords(tree):
+                parts.append((row.reshape(1, 2), "point"))
+    elif gtype == "MULTILINESTRING":
+        lines = tree if isinstance(tree, list) else [tree]
+        for leaf in lines:
+            parts.append((_coords(leaf), "line"))
+    else:  # MULTIPOLYGON
+        polys = tree if isinstance(tree, list) else [tree]
+        for poly in polys:
+            rings = poly if isinstance(poly, list) else [poly]
+            for j, r in enumerate(rings):
+                parts.append((_coords(r), "exterior" if j == 0 else "hole"))
+    return norm, parts
+
+
+def _ring_signed_area_centroid(c: np.ndarray):
+    """Shoelace signed area + Green's-theorem centroid of one ring (closed
+    or open — the wrap term closes it either way)."""
+    x, y = c[:, 0], c[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        m = c.mean(axis=0)
+        return 0.0, float(m[0]), float(m[1])
+    cx = float(((x + x2) * cross).sum() / (6.0 * a))
+    cy = float(((y + y2) * cross).sum() / (6.0 * a))
+    return float(a), cx, cy
+
+
+def _path_length(c: np.ndarray, close: bool) -> float:
+    if c.shape[0] < 2:
+        return 0.0
+    d = np.diff(c, axis=0)
+    total = float(np.sqrt((d * d).sum(axis=1)).sum())
+    if close and not np.array_equal(c[0], c[-1]):
+        total += float(np.sqrt(((c[-1] - c[0]) ** 2).sum()))
+    return total
+
+
+def geometry_stats(s: str, parsed=None) -> dict:
+    """Per-geometry stats of one WKT string (shapely-compatible semantics:
+    polygon area = exterior − holes, polygon length = total ring
+    perimeter, line centroid = length-weighted, point area/length = 0).
+    ``parsed``: optional pre-parsed (gtype, parts) to avoid a re-parse."""
+    gtype, parts = parsed if parsed is not None else parse_wkt(s)
+    if not parts:
+        return {"geom_type": gtype, "n_points": 0,
+                "xmin": None, "ymin": None, "xmax": None, "ymax": None,
+                "cx": None, "cy": None, "area": 0.0, "length": 0.0}
+    allc = np.vstack([c for c, _ in parts])
+    xmin, ymin = allc.min(axis=0)
+    xmax, ymax = allc.max(axis=0)
+    area = 0.0
+    length = 0.0
+    # centroid: area-weighted over rings when any area exists, else
+    # length-weighted over lines, else mean of points — the standard
+    # highest-dimension rule (matches shapely for disjoint components)
+    wa_sum = np.zeros(2)
+    wa_tot = 0.0
+    wl_sum = np.zeros(2)
+    wl_tot = 0.0
+    pt_sum = np.zeros(2)
+    pt_n = 0
+    for c, role in parts:
+        if role in ("exterior", "hole"):
+            a, cx, cy = _ring_signed_area_centroid(c)
+            w = abs(a) if role == "exterior" else -abs(a)
+            area += w
+            wa_sum += w * np.array([cx, cy])
+            wa_tot += w
+            length += _path_length(c, close=True)
+        elif role == "line":
+            ln = _path_length(c, close=False)
+            length += ln
+            if c.shape[0] >= 2:
+                mids = (c[:-1] + c[1:]) / 2.0
+                seg = np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1))
+                wl_sum += (mids * seg[:, None]).sum(axis=0)
+                wl_tot += seg.sum()
+        else:  # point
+            pt_sum += c[0]
+            pt_n += 1
+    if wa_tot > 0:
+        cx, cy = wa_sum / wa_tot
+    elif wl_tot > 0:
+        cx, cy = wl_sum / wl_tot
+    elif pt_n:
+        cx, cy = pt_sum / pt_n
+    else:
+        cx, cy = allc.mean(axis=0)
+    return {"geom_type": gtype, "n_points": int(allc.shape[0]),
+            "xmin": float(xmin), "ymin": float(ymin),
+            "xmax": float(xmax), "ymax": float(ymax),
+            "cx": float(cx), "cy": float(cy),
+            "area": float(max(area, 0.0)), "length": float(length)}
+
+
+def sample_points(s: str, num_points: int = 10, parsed=None) -> np.ndarray:
+    """Up to ``num_points`` evenly spaced vertices of the geometry —
+    the hull/heatmap sampling analogue of ``geometry.py:12-30``.
+    ``parsed``: optional pre-parsed (gtype, parts) to avoid a re-parse."""
+    _, parts = parsed if parsed is not None else parse_wkt(s)
+    if not parts:
+        return np.empty((0, 2))
+    allc = np.vstack([c for c, _ in parts])
+    if allc.shape[0] <= num_points:
+        return allc
+    idx = np.linspace(0, allc.shape[0] - 1, num_points).astype(np.int64)
+    return allc[idx]
+
+
+def wkt_stats_batch(batch: pa.Table, wkt_col: str = "wkt",
+                    keep_cols: list[str] | None = None) -> pa.Table:
+    """map_batches kernel: one stats row per geometry (nulls and malformed
+    WKT → geom_type null; bad rows are counted, never fatal)."""
+    vals = batch.column(wkt_col).to_pylist()
+    rows = []
+    for v in vals:
+        if v is None:
+            rows.append({f.name: None for f in STATS_SCHEMA})
+            continue
+        try:
+            rows.append(geometry_stats(v))
+        except ValueError:
+            rows.append({f.name: None for f in STATS_SCHEMA})
+    out = pa.Table.from_pylist(rows, schema=STATS_SCHEMA)
+    for name in keep_cols or []:
+        out = out.append_column(name, batch.column(name))
+    return out
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain: hull vertices in CCW order (k, 2).
+    Degenerate inputs return the (deduplicated) points themselves."""
+    if points.shape[0] == 0:
+        return points
+    pts = np.unique(points, axis=0)  # sorts lexicographically (x, then y)
+    if pts.shape[0] <= 2:
+        return pts
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    if hull.shape[0] < 3:  # collinear
+        return np.array([pts[0], pts[-1]])
+    return hull
+
+
+def hull_wkt(points: np.ndarray) -> str | None:
+    """Convex hull of a point cloud as WKT (POLYGON / LINESTRING / POINT
+    by degeneracy, mirroring shapely's MultiPoint(...).convex_hull)."""
+    h = convex_hull(points)
+    if h.shape[0] == 0:
+        return None
+    fmt = ", ".join(f"{x:g} {y:g}" for x, y in h)
+    if h.shape[0] == 1:
+        return f"POINT ({fmt})"
+    if h.shape[0] == 2:
+        return f"LINESTRING ({fmt})"
+    first = f"{h[0, 0]:g} {h[0, 1]:g}"
+    return f"POLYGON (({fmt}, {first}))"

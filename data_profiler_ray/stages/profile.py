@@ -64,8 +64,13 @@ class _PartialProfiler:
             if self.part_column and name == self.part_column:
                 continue
             fld = self.schema.field(name)
-            acc = make_accumulator(fld, text_stats=self.config.text_stats
-                                   and not self.config.light_mode)
+            if name in (self.config.geometry_columns or ()):
+                from ..state.column import GeometryAccumulator
+                acc = GeometryAccumulator(name, crs=self.config.geometry_crs)
+            else:
+                acc = make_accumulator(
+                    fld, text_stats=self.config.text_stats
+                    and not self.config.light_mode)
             acc.update(batch.column(name))
             accs[name] = acc
         return dumps_state((len(batch), accs))

@@ -674,6 +674,154 @@ class StringAccumulator(ColumnAccumulator, _DistinctMixin):
         return out
 
 
+class GeometryAccumulator(StringAccumulator):
+    """WKT geometry columns: the mergeable analogue of the reference's
+    ``describe_geometry`` (``tabular_timeseries/variables/geometry.py:
+    89-140``) — value counts / samples from the string base, plus
+
+    - ``mbr``: running bbox → WKT box;
+    - ``union_convex_hull``: monotone-chain hull of ≤10 sampled vertices
+      per geometry, with the point buffer COLLAPSED TO ITS HULL whenever it
+      exceeds ``_HULL_BUF`` (hull(hull(A) ∪ hull(B)) == hull(A ∪ B), so the
+      partial state stays bounded and merges exactly);
+    - ``centroid``: highest-dimension weighted mean of per-geometry
+      centroids (area-weighted; falls back to length-, then count-
+      weighted) — equals the reference's union centroid for DISJOINT
+      components, a documented approximation for overlapping ones;
+    - ``geom_type_distribution``, ``area_distribution`` /
+      ``length_distribution`` 13-stat bundles (A13 block).
+
+    CRS reprojection is a DOCUMENTED GAP: stats are in native coordinates
+    and ``crs`` is carried through informationally (the reference
+    reprojects to a UTM zone first, geometry.py:149-170).
+    """
+
+    kind = "geometry"
+    _HULL_BUF = 4096
+
+    def __init__(self, name: str, crs: str = "EPSG:4326"):
+        super().__init__(name, text_stats=False)
+        self.crs = crs
+        self.geom_counts: dict[str, int] = {}
+        self.n_invalid = 0
+        self.bbox = [np.inf, np.inf, -np.inf, -np.inf]
+        self.area = MomentsState()
+        self.area_kll = KLLSketch()
+        self.length = MomentsState()
+        self.length_kll = KLLSketch()
+        self.w_area = np.zeros(3)    # (sum w·cx, sum w·cy, sum w) by area
+        self.w_len = np.zeros(3)
+        self.w_pt = np.zeros(3)
+        self.hull_pts = np.empty((0, 2))
+
+    def update(self, arr) -> None:
+        from ..functions.geometry import (geometry_stats, parse_wkt,
+                                          sample_points)
+        arr = _combine_chunks(arr)
+        if pa.types.is_dictionary(arr.type):
+            arr = arr.cast(pa.string())
+        valid = self._pre(arr)
+        if len(valid) == 0:
+            return
+        self.probe_checked = True
+        self._update_distinct(valid)
+        self._probes(valid)
+        areas, lengths = [], []
+        pts = [self.hull_pts]
+        for v in valid.to_pylist():
+            try:
+                parsed = parse_wkt(v)
+                st = geometry_stats(v, parsed=parsed)
+                pts.append(sample_points(v, parsed=parsed))
+            except ValueError:
+                self.n_invalid += 1
+                continue
+            g = st["geom_type"]
+            self.geom_counts[g] = self.geom_counts.get(g, 0) + 1
+            if st["n_points"]:
+                self.bbox[0] = min(self.bbox[0], st["xmin"])
+                self.bbox[1] = min(self.bbox[1], st["ymin"])
+                self.bbox[2] = max(self.bbox[2], st["xmax"])
+                self.bbox[3] = max(self.bbox[3], st["ymax"])
+                c = np.array([st["cx"], st["cy"]])
+                if st["area"] > 0:
+                    self.w_area += np.r_[st["area"] * c, st["area"]]
+                elif st["length"] > 0:
+                    self.w_len += np.r_[st["length"] * c, st["length"]]
+                else:
+                    self.w_pt += np.r_[c, 1.0]
+            areas.append(st["area"])
+            lengths.append(st["length"])
+        if areas:
+            a = np.asarray(areas)
+            ln = np.asarray(lengths)
+            self.area.update(a)
+            self.area_kll.update(a)
+            self.length.update(ln)
+            self.length_kll.update(ln)
+        self.hull_pts = np.vstack(pts)
+        self._shrink_hull()
+
+    def _shrink_hull(self) -> None:
+        if self.hull_pts.shape[0] > self._HULL_BUF:
+            from ..functions.geometry import convex_hull
+            self.hull_pts = convex_hull(self.hull_pts)
+
+    def merge(self, other: "GeometryAccumulator") -> None:
+        super().merge(other)
+        for g, c in other.geom_counts.items():
+            self.geom_counts[g] = self.geom_counts.get(g, 0) + c
+        self.n_invalid += other.n_invalid
+        self.bbox = [min(self.bbox[0], other.bbox[0]),
+                     min(self.bbox[1], other.bbox[1]),
+                     max(self.bbox[2], other.bbox[2]),
+                     max(self.bbox[3], other.bbox[3])]
+        self.area.merge(other.area)
+        self.area_kll.merge(other.area_kll)
+        self.length.merge(other.length)
+        self.length_kll.merge(other.length_kll)
+        self.w_area += other.w_area
+        self.w_len += other.w_len
+        self.w_pt += other.w_pt
+        self.hull_pts = np.vstack([self.hull_pts, other.hull_pts])
+        self._shrink_hull()
+
+    def logical_type(self) -> str:
+        return GEOMETRY  # declared geometry column: type is asserted
+
+    def result(self) -> dict:
+        from ..functions.geometry import hull_wkt
+        out = self._base_result()
+        out.update(self._distinct_result())
+        out["type"] = GEOMETRY
+        out["crs"] = self.crs
+        out["n_invalid_wkt"] = self.n_invalid
+        out["freq_value_counts"] = self.counter.freq_distribution(10)
+        out["geom_type_distribution"] = [
+            {"name": self.name, "type": g, "count": c}
+            for g, c in sorted(self.geom_counts.items(),
+                               key=lambda kv: -kv[1])]
+        if np.isfinite(self.bbox[0]):
+            x0, y0, x1, y1 = self.bbox
+            out["mbr"] = (f"POLYGON (({x0:g} {y0:g}, {x1:g} {y0:g}, "
+                          f"{x1:g} {y1:g}, {x0:g} {y1:g}, {x0:g} {y0:g}))")
+        else:
+            out["mbr"] = None
+        out["union_convex_hull"] = (hull_wkt(self.hull_pts)
+                                    if self.hull_pts.size else None)
+        for w in (self.w_area, self.w_len, self.w_pt):
+            if w[2] > 0:
+                out["centroid"] = (f"POINT ({w[0] / w[2]:g} "
+                                   f"{w[1] / w[2]:g})")
+                break
+        else:
+            out["centroid"] = None
+        out["area_distribution"] = self._dist_block(self.area, self.area_kll)
+        out["length_distribution"] = self._dist_block(self.length,
+                                                      self.length_kll)
+        return out
+
+
 def make_accumulator(field: pa.Field, text_stats: bool = True) -> ColumnAccumulator:
     """Pick the accumulator for an Arrow field (physical-type dispatch; the
     logical type is refined at finalize, mirroring find_types)."""
