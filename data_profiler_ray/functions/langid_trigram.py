@@ -103,6 +103,27 @@ _LANG_COMMON_WORDS = {
            "întotdeauna", "om", "an", "românia", "poate", "după",
            "înainte", "între", "mulțumesc", "de ce", "acum", "încă",
            "pentru că", "mult", "mare", "mic", "față"],
+    # languages BEYOND the stopword heuristic's set (VERDICT r4 item 3):
+    # profiles built from common words alone — the stopword path cannot
+    # label these at all
+    "hu": ["hogy", "nem", "igen", "van", "volt", "lesz", "nagyon", "jól",
+           "minden", "több", "ma", "holnap", "idő", "szép", "nyelv",
+           "mindig", "ember", "év", "magyarország", "talán", "után",
+           "előtt", "között", "köszönöm", "miért", "mikor", "most",
+           "még", "mert", "sok", "és", "az", "egy", "is", "de", "mi",
+           "ki", "el", "meg", "csak"],
+    "no": ["og", "det", "er", "ikke", "jeg", "han", "hun", "vi", "skal",
+           "være", "kunne", "skulle", "over", "under", "mellom",
+           "viktig", "vær", "vakkert", "språk", "tid", "gjøre", "si",
+           "gå", "se", "alltid", "menneske", "år", "norge", "kanskje",
+           "egentlig", "god", "mye", "også", "denne", "noe", "bare",
+           "etter", "før", "takk", "hvorfor"],
+    "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "kamu",
+           "dia", "kami", "mereka", "ada", "bisa", "sudah", "belum",
+           "hari", "besok", "cuaca", "bagus", "bahasa", "waktu",
+           "selalu", "orang", "tahun", "indonesia", "mungkin", "sesudah",
+           "sebelum", "antara", "terima", "kasih", "kenapa", "sekarang"],
 }
 
 _PROFILE_SIZE = 300
@@ -117,11 +138,12 @@ def _word_trigrams(word: str):
 
 def build_profiles() -> dict[str, dict[str, int]]:
     """Per-language {trigram: rank} profiles from the embedded word lists.
-    Rank by (frequency desc, trigram asc) — deterministic."""
+    Rank by (frequency desc, trigram asc) — deterministic. Covers the
+    stopword languages PLUS the common-word-only extensions (hu/no/id)."""
     profiles = {}
-    for lang in _LANG_STOPWORDS:
+    for lang in sorted(set(_LANG_STOPWORDS) | set(_LANG_COMMON_WORDS)):
         counts: dict[str, int] = {}
-        words = sorted(set(_LANG_STOPWORDS[lang])
+        words = sorted(set(_LANG_STOPWORDS.get(lang, ()))
                        | set(_LANG_COMMON_WORDS.get(lang, ())))
         for w in words:
             for t in _word_trigrams(w.lower()):
@@ -137,27 +159,34 @@ class TrigramLangID:
     ``__init__``; per batch, per-document trigram profiles scored by the
     Cavnar–Trenkle out-of-place distance against every language."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", per_sentence: bool = False):
         self.text_col = text_col
-        self.langs = list(_LANG_STOPWORDS)
         self.profiles = build_profiles()
+        self.langs = sorted(self.profiles)
         self.max_rank = _PROFILE_SIZE
+        # per_sentence: split on sentence boundaries and sum per-language
+        # scores across sentences before the argmax — the reference's
+        # per-sentence detection feeding per-language score sums
+        # (text/profiler.py:283-313)
+        self.per_sentence = per_sentence
 
-    def _classify(self, text: str) -> tuple[str, float]:
+    def _doc_grams(self, text: str) -> list[str]:
         t = " ".join(text.lower().split())
         if len(t) < 2:
-            return "und", 0.0
+            return []
         padded = f" {t} "
         grams: dict[str, int] = {}
         for i in range(len(padded) - 2):
             g = padded[i:i + 3]
             grams[g] = grams.get(g, 0) + 1
         ranked = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))
-        doc = [g for g, _ in ranked[:_DOC_PROFILE_SIZE]]
-        if not doc:
-            return "und", 0.0
-        best_lang, best_dist, best_cov = "und", None, 0.0
-        for lang in self.langs:
+        return [g for g, _ in ranked[:_DOC_PROFILE_SIZE]]
+
+    def _lang_scores(self, doc: list[str]):
+        """(out-of-place distance, profile-hit coverage) per language."""
+        dists = np.empty(len(self.langs), dtype=np.int64)
+        covs = np.empty(len(self.langs))
+        for j, lang in enumerate(self.langs):
             prof = self.profiles[lang]
             dist = 0
             hits = 0
@@ -168,18 +197,59 @@ class TrigramLangID:
                 else:
                     dist += abs(r_doc - r_lang)
                     hits += 1
-            if best_dist is None or dist < best_dist:
-                best_lang, best_dist, best_cov = lang, dist, hits / len(doc)
-        if best_cov < _MIN_COVERAGE:
-            return "und", best_cov
-        return best_lang, best_cov
+            dists[j] = dist
+            covs[j] = hits / len(doc)
+        return dists, covs
+
+    def _classify(self, text: str) -> tuple[str, float]:
+        doc = self._doc_grams(text)
+        if not doc:
+            return "und", 0.0
+        dists, covs = self._lang_scores(doc)
+        j = int(dists.argmin())
+        if covs[j] < _MIN_COVERAGE:
+            return "und", float(covs[j])
+        return self.langs[j], float(covs[j])
+
+    def classify_document(self, text: str) -> tuple[str, float]:
+        """Per-sentence score-sum mode (reference text/profiler.py:283-313):
+        each sentence is scored against every language; per-language
+        similarities (max_dist − dist, i.e. higher = better) are summed
+        weighted by sentence gram count, and the document language is the
+        argmax of the sums with the same coverage gate."""
+        import re as _re
+        if not self.per_sentence:
+            return self._classify(text)
+        sentences = [s for s in _re.split(r"[.!?]+", text) if s.strip()]
+        if len(sentences) <= 1:
+            return self._classify(text)
+        score_sum = np.zeros(len(self.langs))
+        cov_sum = np.zeros(len(self.langs))
+        w_tot = 0.0
+        for s in sentences:
+            doc = self._doc_grams(s)
+            if not doc:
+                continue
+            dists, covs = self._lang_scores(doc)
+            w = float(len(doc))
+            score_sum += w * (self.max_rank * len(doc) - dists) / (
+                self.max_rank * len(doc))
+            cov_sum += w * covs
+            w_tot += w
+        if w_tot == 0.0:
+            return "und", 0.0
+        j = int(score_sum.argmax())
+        cov = float(cov_sum[j] / w_tot)
+        if cov < _MIN_COVERAGE:
+            return "und", cov
+        return self.langs[j], cov
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         preds = np.empty(len(texts), dtype=object)
         covs = np.zeros(len(texts))
         for i, s in enumerate(texts):
-            preds[i], covs[i] = self._classify(s or "")
+            preds[i], covs[i] = self.classify_document(s or "")
         out = _set_column(batch, "lang_pred", pa.array(preds, pa.string()))
         return _set_column(out, "lang_coverage",
                            pa.array(covs, pa.float64()))

@@ -71,13 +71,27 @@ class _CorpusState:
 
 
 class _CorpusPartial:
-    """map_batches callable emitting one pickled _CorpusState per batch."""
+    """map_batches callable emitting one pickled _CorpusState per batch.
 
-    def __init__(self, text_col: str = "text", ner: bool = False):
+    ``lang_method``: 'trigram' (default, VERDICT r4 item 3) classifies each
+    text with the Cavnar–Trenkle scorer in per-sentence score-sum mode —
+    the reference's per-sentence detection feeding per-language score sums
+    (text/profiler.py:283-313) — and covers languages the stopword sets
+    don't (hu/no/id). 'stopword' keeps the vectorized hit-rate heuristic
+    (the SQL-oracled variant, functions/text.py)."""
+
+    def __init__(self, text_col: str = "text", ner: bool = False,
+                 lang_method: str = "trigram"):
         self.text_col = text_col
+        self.lang_method = lang_method
         self.lang_sets = {k: pa.array(sorted(v))
                           for k, v in _LANG_STOPWORDS.items()}
-        # gazetteers built once per actor (ST1 pattern)
+        # stateful scorers built once per actor (ST1 pattern)
+        self.trigram = None
+        if lang_method == "trigram":
+            from ..functions.langid_trigram import TrigramLangID
+            self.trigram = TrigramLangID(text_col=text_col,
+                                         per_sentence=True)
         self.tagger = None
         if ner:
             from ..functions.text_nlp import NerTagger
@@ -112,23 +126,32 @@ class _CorpusPartial:
             st.terms.update_counts(vals, counts)
             st.words_hll.update(np.asarray(vals, dtype=object))
 
-            # language per text (stopword-hit heuristic, per-doc argmax)
-            doc_len = np.diff(offsets).astype(np.float64)
-            has = doc_len > 0
-            starts = np.clip(offsets[:-1], 0, max(len(flat) - 1, 0))
-            langs = list(self.lang_sets)
-            scores = np.zeros((len(langs), len(doc_len)))
-            for i, lang in enumerate(langs):
-                hits = pc.is_in(flat, value_set=self.lang_sets[lang]).cast(
-                    pa.int8()).to_numpy(zero_copy_only=False).astype(np.float64)
-                s = np.add.reduceat(hits, starts)
-                scores[i] = np.divide(np.where(has, s, 0.0), doc_len,
-                                      out=np.zeros_like(doc_len), where=has)
-            best = scores.argmax(axis=0)
-            best_score = scores.max(axis=0)
-            pred = np.where(best_score >= 0.05,
-                            np.array(langs, dtype=object)[best], "unknown")
-            st.languages.update(Counter(pred.tolist()))
+            if self.trigram is not None:
+                # language per text: per-sentence trigram score sums
+                for doc in text.to_pylist():
+                    st.languages[self.trigram.classify_document(doc)[0]] += 1
+            else:
+                # language per text (stopword-hit heuristic, per-doc argmax)
+                doc_len = np.diff(offsets).astype(np.float64)
+                has = doc_len > 0
+                starts = np.clip(offsets[:-1], 0, max(len(flat) - 1, 0))
+                langs = list(self.lang_sets)
+                scores = np.zeros((len(langs), len(doc_len)))
+                for i, lang in enumerate(langs):
+                    hits = pc.is_in(
+                        flat, value_set=self.lang_sets[lang]).cast(
+                        pa.int8()).to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                    s = np.add.reduceat(hits, starts)
+                    scores[i] = np.divide(np.where(has, s, 0.0), doc_len,
+                                          out=np.zeros_like(doc_len),
+                                          where=has)
+                best = scores.argmax(axis=0)
+                best_score = scores.max(axis=0)
+                pred = np.where(best_score >= 0.05,
+                                np.array(langs, dtype=object)[best],
+                                "unknown")
+                st.languages.update(Counter(pred.tolist()))
 
             # sentiment per text: the REAL VADER compound (graded lexicon
             # + published rule set, functions/text_nlp.py:vader_compound) —
@@ -161,7 +184,8 @@ def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
                         top_k_terms: int = 25,
                         n_topics: int | None = None,
                         lda_passes: int = 3,
-                        ner: bool = False) -> dict:
+                        ner: bool = False,
+                        lang_method: str = "trigram") -> dict:
     """Corpus rollup → reference-shaped dict (text/profiler.py:662-696).
 
     ``n_topics``: fit the REAL distributed variational-Bayes LDA
@@ -174,7 +198,8 @@ def profile_text_corpus(ds: "ray.data.Dataset", text_col: str = "text",
     t0 = datetime.datetime.now()
     partials = ds.select_columns([text_col]).map_batches(
         _CorpusPartial, fn_constructor_kwargs=dict(text_col=text_col,
-                                                   ner=ner),
+                                                   ner=ner,
+                                                   lang_method=lang_method),
         batch_format="pyarrow", concurrency=(1, 8))
     st = _CorpusState()
     for b in partials.iter_batches(batch_format="pyarrow"):

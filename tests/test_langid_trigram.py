@@ -62,3 +62,87 @@ def test_trigram_handles_empty_and_und():
                                      pa.string())})
     out = TrigramLangID()(tbl).column("lang_pred").to_pylist()
     assert out[0] == "und" and out[1] == "und"
+
+
+# longer multi-sentence texts (the regime where the stopword heuristic is
+# at its best) plus three languages OUTSIDE its label set entirely
+_LONG = {
+    "en": ["the weather is good today. people think that things will be "
+           "fine. they know what is right and they will do it."],
+    "de": ["das wetter ist heute schön. die menschen denken dass alles "
+           "gut wird. sie wissen was richtig ist und machen es auch."],
+    "fr": ["le temps est beau aujourd'hui. les gens pensent que tout ira "
+           "bien. ils savent ce qui est juste et pour cela ils le font."],
+    "es": ["el tiempo es bueno hoy. la gente piensa que todo va a salir "
+           "bien. saben lo que es justo y por eso lo hacen."],
+    "it": ["il tempo è bello oggi. la gente pensa che tutto andrà bene. "
+           "sanno che cosa è giusto e per questo lo fanno anche."],
+    "pt": ["o tempo está bom hoje. as pessoas pensam que tudo vai ficar "
+           "bem. sabem o que é justo e por isso o fazem para você."],
+    "nl": ["het weer is vandaag mooi. de mensen denken dat alles goed "
+           "komt. zij weten wat juist is en daarom doen ze het ook."],
+    "sv": ["vädret är vackert idag. människor tror att allt kommer att "
+           "bli bra. de vet vad som är rätt och därför gör de det."],
+    "pl": ["pogoda jest dzisiaj piękna. ludzie myślą że wszystko będzie "
+           "dobrze. wiedzą co jest słuszne i dlatego to robią."],
+    "fi": ["sää on tänään kaunis. ihmiset ajattelevat että kaikki menee "
+           "hyvin. he tietävät mikä on oikein ja siksi tekevät sen."],
+    "hu": ["ma nagyon szép az idő. az emberek azt hiszik hogy minden "
+           "jól lesz. tudják hogy mi a helyes és ezért meg is teszik."],
+    "no": ["været er vakkert idag. menneskene tror at alt skal gå bra. "
+           "de vet hva som er riktig og derfor gjør de det også."],
+    "id": ["cuaca hari ini bagus sekali. orang berpikir bahwa semua akan "
+           "baik. mereka tahu apa yang benar dan karena itu melakukannya."],
+}
+
+
+def test_trigram_confusion_matrix_beats_stopword_overall():
+    """VERDICT r4 item 3 done-condition: trigram (per-sentence score sums,
+    now the corpus default) must beat the stopword heuristic on OVERALL
+    accuracy over a mixed short+long labeled fixture, including languages
+    the stopword sets cannot label at all (hu/no/id)."""
+    from collections import Counter
+    texts, truth = [], []
+    for lang, sents in _SHORT.items():
+        for s in sents:
+            texts.append(s)
+            truth.append(lang)
+    for lang, sents in _LONG.items():
+        for s in sents:
+            texts.append(s)
+            truth.append(lang)
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    trig = TrigramLangID(per_sentence=True)(tbl)
+    trig_pred = trig.column("lang_pred").to_pylist()
+    stop_pred = language_id_batch(tbl).column("lang_pred").to_pylist()
+    acc_t = _accuracy(trig_pred, truth)
+    acc_s = _accuracy(stop_pred, truth)
+    confusion = Counter((t, p) for t, p in zip(truth, trig_pred) if t != p)
+    assert acc_t > acc_s, (acc_t, acc_s, confusion)
+    assert acc_t >= 0.85, (acc_t, confusion)
+    # no language hijacks another: every true language keeps a majority
+    per_lang = {}
+    for t, p in zip(truth, trig_pred):
+        per_lang.setdefault(t, []).append(p)
+    for lang, preds in per_lang.items():
+        top = Counter(preds).most_common(1)[0][0]
+        assert top == lang, (lang, Counter(preds))
+    # the extension languages are only reachable on the trigram path
+    for lang in ("hu", "no", "id"):
+        assert lang in trig_pred
+
+
+def test_corpus_rollup_trigram_default():
+    """The corpus languages counter routes through the trigram scorer by
+    default; the stopword variant stays available (lang_method)."""
+    import ray.data
+
+    from data_profiler_ray.pipelines.text_corpus import profile_text_corpus
+    texts = (_LONG["de"] * 4) + (_LONG["hu"] * 3) + (_LONG["en"] * 3)
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    prof = profile_text_corpus(ds)["corpus"]
+    assert prof["languages"].get("de", 0) == 0.4
+    assert prof["languages"].get("hu", 0) == 0.3  # stopword path can't
+    prof_sw = profile_text_corpus(ds, lang_method="stopword")["corpus"]
+    assert "hu" not in prof_sw["languages"]
+    assert abs(sum(prof_sw["languages"].values()) - 1.0) < 1e-9
