@@ -51,13 +51,25 @@ class _PartialProfiler:
     ``part_column`` is set — blocks come from single files, so a batch almost
     always holds exactly one partition)."""
 
+    _PROBE_FLAGS = ("all_datetime", "all_boolean", "all_numeric",
+                    "all_geometry")
+
     def __init__(self, schema: pa.Schema, config: ProfileConfig,
                  part_column: str | None = None):
         self.schema = schema
         self.config = config
         self.part_column = part_column
+        # per-(part, column) probe verdicts already known False in THIS
+        # worker: a later batch pre-sets them so the head-sample parses
+        # (dateutil/to_numeric — measured ~10% of the fold) run only until
+        # the first failing value. Sound because the flags are AND-merged:
+        # forcing False on a batch whose own values would have passed gives
+        # the same merged result the failing batch already forces. Keyed by
+        # part so one partition's verdict never leaks into another's
+        # checkpointed state.
+        self._dead_probes: dict[tuple[str | None, str], tuple[str, ...]] = {}
 
-    def _fold(self, batch: pa.Table) -> bytes:
+    def _fold(self, batch: pa.Table, part: str | None = None) -> bytes:
         accs: dict[str, ColumnAccumulator] = {}
         cols = self.config.columns or self.schema.names
         for name in cols:
@@ -71,7 +83,13 @@ class _PartialProfiler:
                 acc = make_accumulator(
                     fld, text_stats=self.config.text_stats
                     and not self.config.light_mode)
+            for f in self._dead_probes.get((part, name), ()):
+                setattr(acc, f, False)
             acc.update(batch.column(name))
+            dead = tuple(f for f in self._PROBE_FLAGS
+                         if getattr(acc, f, True) is False)
+            if dead:
+                self._dead_probes[(part, name)] = dead
             accs[name] = acc
         return dumps_state((len(batch), accs))
 
@@ -87,7 +105,7 @@ class _PartialProfiler:
             sub = batch.filter(pc.equal(batch.column(self.part_column), part))
             parts.append(part)
             rows.append(len(sub))
-            states.append(self._fold(sub))
+            states.append(self._fold(sub, part=part))
         return pa.table({
             "part": pa.array(parts, type=pa.string()),
             "rows": pa.array(rows, type=pa.int64()),
