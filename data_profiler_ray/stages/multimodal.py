@@ -7,9 +7,12 @@ output layout — is real and tested. Decode is REAL for the formats a
 library-free container can parse (uncompressed 24-bit **BMP**, **PNG**
 with stdlib zlib + spec unfiltering, baseline **JPEG** via the pure-numpy
 T.81 codec in ``functions/jpeg.py`` (r4), and PCM-16 **WAV**, via
-``functions/codecs.py``); the one format that genuinely needs external
-codecs (mp4) raises ``NotImplementedError`` unless ``fake=True`` selects
-the deterministic digest-based fake decode.
+``functions/codecs.py``). **mp4** (r5) gets a real ISO/IEC 14496-12
+container parse — duration, codec fourcc, resolution, frame count,
+per-track timescales — via ``functions/mp4.py``, and ``FrameSampler``
+demuxes the actual encoded sample bytes through stsc/stsz/stco; only
+*pixel* decode of those samples would need an external H.264 codec, so
+featurization is metadata-derived (all real parsed values).
 
 Batch-size guidance baked in: payload stages default to small
 ``batch_size`` so batch_bytes × concurrency stays inside a worker heap
@@ -29,6 +32,8 @@ from ..functions.codecs import (audio_features, decode_bmp, decode_png,
                                 decode_wav_pcm16, encode_bmp, encode_png,
                                 encode_wav_pcm16, image_features)
 from ..functions.jpeg import decode_jpeg, encode_jpeg
+from ..functions.mp4 import (build_mp4, iter_mp4_samples, mp4_features,
+                             parse_mp4_metadata)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -89,8 +94,11 @@ def synthesize_media(n: int, seed: int = 42,
                     (s * 32767 * 0.5).astype(np.int16), 16000))
                 formats.append("wav")
             else:
-                payloads.append(rng.integers(0, 256, size=payload_bytes,
-                                             dtype=np.uint8).tobytes())
+                # REAL minimal ISO-BMFF mp4 (synthetic encoded frames)
+                payloads.append(build_mp4(
+                    n_frames=30, fps=30, width=64, height=64,
+                    frame_bytes=max(payload_bytes // 30, 16),
+                    seed=int(rng.integers(0, 2**31))))
                 formats.append("mp4")
     else:
         fmts = {"image": "png", "audio": "wav", "video": "mp4"}
@@ -160,11 +168,21 @@ class MediaFeatureExtractor:
             except ValueError:
                 if not self.fake:
                     raise
+        if fmt in ("mp4", "mov", "m4a"):
+            try:
+                # REAL container parse (ISO 14496-12): the features are
+                # actual duration/codec/resolution/frame-count values;
+                # pixel decode of the samples would need an H.264 codec.
+                return mp4_features(parse_mp4_metadata(payload),
+                                    self.feat_dim)
+            except ValueError:
+                if not self.fake:
+                    raise
         if not self.fake:
-            raise NotImplementedError(
-                "mp4 (ffmpeg) is not available in this environment; "
-                "bmp/png/jpeg/wav decode natively, or construct with "
-                "fake=True for the deterministic digest-based fake decode")
+            raise ValueError(
+                f"unsupported media format {fmt!r}: bmp/png/jpeg/wav "
+                "decode natively, mp4 parses container metadata; "
+                "construct with fake=True for digest-based fake decode")
         digest = hashlib.blake2b(payload, digest_size=8,
                                  person=kind[:8].encode()).digest()
         rng = np.random.default_rng(int.from_bytes(digest, "little"))
@@ -189,9 +207,12 @@ class MediaFeatureExtractor:
 class FrameSampler:
     """Actor-pool stage: sample every ``stride``-th frame of video payloads.
 
-    Frame extraction is stubbed like decode; with ``fake=True`` it slices
-    the payload into ``n_frames`` equal chunks and keeps every stride-th —
-    real chunk plumbing, fake pixels.
+    mp4 payloads are REALLY demuxed (r5): ``iter_mp4_samples`` walks the
+    stsc/stsz/stco tables per ISO 14496-12 and yields each encoded
+    sample's actual bytes — the emitted frames are the true codec
+    payloads, just not pixel-decoded (that needs an H.264 decoder). For
+    non-ISO-BMFF payloads, ``fake=True`` falls back to slicing the payload
+    into ``n_frames`` equal chunks — real chunk plumbing, fake frames.
     """
 
     def __init__(self, stride: int = 10, fake: bool = False):
@@ -207,9 +228,17 @@ class FrameSampler:
                 batch.column("n_frames").to_pylist()):
             if kind != "video":
                 continue
-            if not self.fake:
-                raise NotImplementedError(
-                    "video frame extraction requires ffmpeg; use fake=True")
+            try:
+                for f, sample in enumerate(iter_mp4_samples(payload,
+                                                            "vide")):
+                    if f % self.stride == 0:
+                        ids.append(mid)
+                        frame_idx.append(f)
+                        frames.append(sample)
+                continue
+            except ValueError:
+                if not self.fake:
+                    raise
             n = max(int(n_frames or 1), 1)
             step = max(len(payload) // n, 1)
             for f in range(0, n, self.stride):

@@ -321,8 +321,10 @@ def test_media_feature_plumbing():
 def test_media_decode_stub_raises():
     from data_profiler_ray.stages.multimodal import MediaFeatureExtractor
     ex = MediaFeatureExtractor(fake=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # mp4 is a REAL container parser now
         ex._decode("video", "mp4", b"bytes")
+    with pytest.raises(ValueError):  # unknown format, strict mode
+        ex._decode("video", "webm", b"bytes")
     with pytest.raises(ValueError):  # jpeg is a REAL codec now: bad payload
         ex._decode("image", "jpeg", b"bytes")
     with pytest.raises(ValueError):  # png is a REAL codec now: bad payload
