@@ -34,8 +34,18 @@ import pyarrow.compute as pc
 from .text import _LANG_STOPWORDS
 
 _SUFFIXES = ("ingly", "edly", "ings", "ing", "ed", "ly", "ies", "es", "s")
-_ENTITY_RE = re.compile(r"\b(?:[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\b")
-_NUM_RE = re.compile(r"\b\d+(?:\.\d+)?\b")
+# Capitalized-run chunker (r5 NER fidelity, VERDICT item 8): a token is a
+# Titlecase word (incl. Latin-1 accents: Müller), an ALL-CAPS acronym
+# (NASA, IBM), or an initial ("F."); runs may bridge the lowercase
+# connectors of real-world names ("University of Oxford", "Bank of
+# America", "David van der Berg").
+_CAPWORD = r"[A-ZÀ-Þ][a-zß-ÿ]+"
+_CAPTOK = rf"(?:{_CAPWORD}|[A-Z]{{2,}}|[A-Z]\.)"
+_CONNECT = r"(?:of(?:\s+the)?|de|del|da|van|von|der|al|&)"
+_ENTITY_RE = re.compile(
+    rf"\b{_CAPTOK}(?:\s+(?:{_CONNECT}\s+)*{_CAPTOK})*")
+_NUM_RE = re.compile(
+    r"\b\d{1,3}(?:,\d{3})+(?:\.\d+)?\b|\b\d+(?:\.\d+)?\b")
 _EMAIL_RE = re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b")
 _URL_RE = re.compile(r"\bhttps?://\S+\b")
 
@@ -241,7 +251,8 @@ copenhagen helsinki warsaw vienna zurich geneva athens istanbul moscow
 kyiv beijing shanghai tokyo osaka seoul delhi mumbai jakarta hanoi
 bangkok sydney melbourne toronto vancouver montreal chicago boston
 seattle dallas houston atlanta miami denver phoenix philadelphia
-washington cairo lagos nairobi casablanca
+washington cairo lagos nairobi casablanca frankfurt munich hamburg
+texas california florida
 """.split())
 
 _PERSON_GIVEN = frozenset("""
@@ -257,12 +268,34 @@ _ORG_SUFFIX = frozenset("""
 inc corp corporation ltd llc gmbh co company group labs laboratories
 university institute college bank systems technologies software
 foundation association society agency committee council ministry
-department bureau press times journal
+department bureau press times journal commission congress parliament
+senate fc united club
 """.split())
 
 _HONORIFICS = frozenset(
     ["mr", "mrs", "ms", "dr", "prof", "professor", "sir", "president",
-     "senator", "judge", "captain", "general"])
+     "senator", "judge", "captain", "general", "minister", "chancellor",
+     "governor", "mayor", "colonel", "sergeant", "reverend", "rabbi",
+     "imam", "lord", "lady", "dame", "king", "queen", "prince",
+     "princess"])
+
+# Nationality / group adjectives → spaCy's NORP label (r5)
+_NORP_DEMONYMS = frozenset("""
+american british english french german spanish italian portuguese dutch
+belgian swedish norwegian danish finnish polish austrian swiss greek
+turkish russian ukrainian chinese japanese korean indian pakistani
+indonesian vietnamese thai australian canadian mexican brazilian
+argentine chilean peruvian colombian egyptian nigerian kenyan moroccan
+ethiopian irish scottish welsh hungarian czech romanian bulgarian
+croatian serbian european asian african
+""".split())
+
+# ALL-CAPS acronyms default to ORG (NASA, IBM, WHO) except the handful
+# that are places; common non-entity caps are stoplisted
+_GPE_ACRONYMS = frozenset(["usa", "us", "uk", "uae", "ussr", "prc"])
+_ACRONYM_STOP = frozenset(["OK", "TV", "AM", "PM", "ID", "PS", "VS",
+                           "AKA", "ASAP", "FYI", "DIY", "FAQ", "CEO",
+                           "CFO", "CTO", "PhD", "USD", "EUR", "GBP"])
 
 _MONTHS = frozenset(
     ["january", "february", "march", "april", "may", "june", "july",
@@ -274,7 +307,9 @@ _WEEKDAYS = frozenset(
 _DATE_RE = re.compile(
     r"\b(?:\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}"
     r"|(?:January|February|March|April|May|June|July|August|September"
-    r"|October|November|December)\s+\d{1,2}(?:,\s*\d{4})?)\b")
+    r"|October|November|December)"
+    r"\s+(?:\d{1,2},\s*\d{4}|\d{4}|\d{1,2})"
+    r"|(?:19|20)\d{2})\b")
 _TIME_RE = re.compile(r"\b\d{1,2}:\d{2}(?::\d{2})?(?:\s?(?:am|pm|AM|PM))?\b")
 _MONEY_RE = re.compile(
     r"[$€£]\s?\d[\d,]*(?:\.\d+)?(?:\s?(?:million|billion|k|m|bn))?"
@@ -313,13 +348,22 @@ class NerTagger:
             self.org_suffix |= {w.lower()
                                 for w in extra_gazetteers.get("ORG", [])}
 
-    def _label_run(self, run: str, prev_word: str) -> str:
-        toks = [t.lower() for t in run.split()]
-        if toks[-1].rstrip(".") in self.org_suffix or any(
-                t in self.org_suffix for t in toks):
+    def _label_run(self, run: str, prev_word: str,
+                   honorific: bool = False) -> str:
+        raw = run.split()
+        toks = [t.rstrip(".").lower() for t in raw]
+        caps = [t for t in raw if len(t) >= 2 and t.isupper()
+                and t not in _ACRONYM_STOP]
+        if any(t.lower() in _GPE_ACRONYMS for t in caps):
+            return "GPE"
+        if any(t in self.org_suffix for t in toks):
             return "ORG"
-        if prev_word in _HONORIFICS or toks[0] in self.person:
+        if honorific or prev_word in _HONORIFICS or toks[0] in self.person:
             return "PERSON"
+        if caps:                         # NASA, IBM, WHO, CERN → ORG
+            return "ORG"
+        if all(t in _NORP_DEMONYMS for t in toks):
+            return "NORP"
         if any(t in self.gpe for t in toks):
             return "GPE"
         if all(t in _MONTHS or t in _WEEKDAYS for t in toks):
@@ -343,27 +387,11 @@ class NerTagger:
         for m in _ENTITY_RE.finditer(doc):
             if not free(m.start(), m.end()):
                 continue
-            g, start = m.group(), m.start()
-            before = doc[:start].rstrip()
-            sent_initial = (not before) or before[-1] in ".!?"
-            prev_word = re.split(r"\W+", before.lower())[-1] if before else ""
-            first = g.split(None, 1)[0].lower()
-            # sentence-initial capitalization is usually just sentence case:
-            # strip the first word UNLESS the run carries a positive signal
-            # that includes it (org suffix anywhere, known given name or
-            # place as the first token, honorific before the run)
-            keep_first = (prev_word in _HONORIFICS
-                          or first in self.person or first in self.gpe
-                          or self._label_run(g, prev_word) == "ORG")
-            if sent_initial and not keep_first:
-                parts = g.split(None, 1)
-                if len(parts) < 2:
-                    continue
-                start += len(g) - len(parts[1])
-                g = parts[1]
-            label = self._label_run(g, prev_word)
-            ents.append((start, start + len(g), g, label))
-            taken.append((start, start + len(g)))
+            # "Anna Schmidt of Deutsche Bank" is TWO entities; "Bank of
+            # America" is one: keep the "of"-bridge only when the word
+            # before "of" is an org head-noun, else split the run there
+            for g, start in self._split_of(m.group(), m.start()):
+                self._emit_run(doc, g, start, ents, taken)
         for m in _NUM_RE.finditer(doc):
             if free(m.start(), m.end()):
                 ents.append((m.start(), m.end(), m.group(), "CARDINAL"))
@@ -371,6 +399,66 @@ class NerTagger:
         ents.sort()
         return [{"text": t, "label": lb}
                 for _, _, t, lb in ents[: self.max_entities]]
+
+    _OF_SPLIT = re.compile(r"\s+of\s+(?:the\s+)?")
+
+    def _split_of(self, g: str, start: int) -> list[tuple[str, int]]:
+        m = self._OF_SPLIT.search(g)
+        if not m:
+            return [(g, start)]
+        left = g[:m.start()]
+        if left.split()[-1].rstrip(".").lower() in self.org_suffix:
+            return [(g, start)]
+        return ([(left, start)]
+                + self._split_of(g[m.end():], start + m.end()))
+
+    def _emit_run(self, doc: str, g: str, start: int,
+                  ents: list, taken: list) -> None:
+        # strip leading articles / honorifics out of the span itself
+        # ("The University of Oxford" → "University of Oxford",
+        #  "Professor Diaz" → PERSON "Diaz"); spaCy's ents exclude the
+        # determiner and the title the same way
+        honorific = False
+        while True:
+            parts = g.split(None, 1)
+            head = parts[0].rstrip(".").lower()
+            if head != "the" and head not in _HONORIFICS:
+                break
+            honorific = honorific or head in _HONORIFICS
+            if len(parts) < 2:
+                g = ""
+                break
+            start += len(g) - len(parts[1])
+            g = parts[1]
+        if not g:
+            return
+        before = doc[:start].rstrip()
+        sent_initial = (not before) or before[-1] in ".!?"
+        prev_words = [w for w in re.split(r"\W+", before.lower()) if w]
+        prev_word = prev_words[-1] if prev_words else ""
+        raw_first = g.split(None, 1)[0]
+        first = raw_first.rstrip(".").lower()
+        # sentence-initial capitalization is usually just sentence case:
+        # strip the first word UNLESS the run carries a positive signal
+        # that includes it (org suffix anywhere, known given name /
+        # place / demonym / month as the first token, an acronym, or an
+        # honorific before the run)
+        keep_first = (honorific or prev_word in _HONORIFICS
+                      or first in self.person or first in self.gpe
+                      or first in _NORP_DEMONYMS or first in _MONTHS
+                      or first in _WEEKDAYS
+                      or (len(raw_first) >= 2 and raw_first.isupper()
+                          and raw_first not in _ACRONYM_STOP)
+                      or self._label_run(g, prev_word, honorific) == "ORG")
+        if sent_initial and not keep_first:
+            parts = g.split(None, 1)
+            if len(parts) < 2:
+                return
+            start += len(g) - len(parts[1])
+            g = parts[1]
+        label = self._label_run(g, prev_word, honorific)
+        ents.append((start, start + len(g), g, label))
+        taken.append((start, start + len(g)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .text import _set_column
