@@ -142,8 +142,8 @@ def vader_compound(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """
     import pandas as pd
 
-    from .vader_lexicon import (ALPHA, BOOSTERS, C_INCR, EMOTICONS, LEXICON,
-                                NEGATIONS, N_SCALAR)
+    from .vader_lexicon import (ALPHA, B_DECR, BOOSTERS, C_INCR, EMOTICONS,
+                                LEXICON, NEGATIONS, N_SCALAR)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     filled = pc.fill_null(text, "")
@@ -174,6 +174,23 @@ def vader_compound(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
     # a booster position that is itself a lexicon word contributes valence,
     # not a scalar (mirrors the published in-lexicon skip)
     boost = np.where(val != 0.0, 0.0, boost)
+
+    # bigram dampeners "kind of" / "sort of" (published BOOSTER_DICT
+    # entries): the first word is NOT a lexical hit ("kind" alone is a
+    # graded positive) and the pair acts as ONE dampener anchored at the
+    # "of" token, adjacent to the word it modifies (r5; validates against
+    # the published compound 0.3832 for "The book was only kind of good.")
+    low_np = lower.to_numpy()
+    head = np.isin(low_np, ("kind", "sort"))
+    if head.any():
+        big = np.zeros(n_tok, dtype=bool)
+        big[:-1] = (head[:-1] & (low_np[1:] == "of")
+                    & (doc_start_of[1:] == doc_start_of[:-1]))
+        if big.any():
+            at = np.flatnonzero(big)
+            val[at] = 0.0
+            boost[at] = 0.0
+            boost[at + 1] = B_DECR
 
     # ALLCAPS emphasis: only when the doc mixes cased styles
     is_caps = pc.and_(pc.utf8_is_upper(bare),

@@ -301,3 +301,38 @@ def test_vader_parity_generated_100_sentences():
     bad = [(t, g, want) for (t, want), g in zip(cases, got)
            if abs(g - want) > 1e-2]
     assert not bad, bad[:5]
+
+
+def test_vader_published_readme_compounds():
+    """r4 VERDICT item 4 anchor: compounds for the example sentences the
+    vaderSentiment README publishes, each independently derivable from the
+    published lexicon values + rule scalars (smart 1.7 + handsome 2.2 +
+    funny 1.9 → norm(5.8) = 0.8316, etc.), matched to 1e-2. Exercises the
+    r5 additions: handsome/sux published valences and the "kind of"
+    bigram dampener (the pair is ONE dampener; "kind" alone must not
+    score as a graded positive there)."""
+    from data_profiler_ray.functions.text_nlp import sentiment_batch
+
+    cases = [
+        ("VADER is smart, handsome, and funny.", 0.8316),
+        ("VADER is smart, handsome, and funny!", 0.8439),
+        ("The book was good.", 0.4404),
+        ("At least it isn't a horrible book.", 0.431),
+        ("The book was only kind of good.", 0.3832),
+        ("Today SUX!", -0.5461),
+    ]
+    tbl = pa.table({"text": pa.array([s for s, _ in cases], pa.string())})
+    got = sentiment_batch(tbl)["sentiment"].to_pylist()
+    for (s, want), g in zip(cases, got):
+        assert abs(g - want) <= 1e-2, (s, g, want)
+
+
+def test_vader_lexicon_r5_size_and_scale():
+    from data_profiler_ray.functions.vader_lexicon import LEXICON
+    assert len(LEXICON) >= 2000          # r4: ~900 → r5 expansion band
+    assert all(-4.0 <= v <= 4.0 for v in LEXICON.values())
+    # inflection families resolve (the published lexicon grades these
+    # separately; out-of-subset inflections used to score 0)
+    for w in ("loved", "loving", "lovely", "failed", "failing",
+              "frustrating", "devastated", "grateful", "inspiring"):
+        assert LEXICON[w] != 0.0
