@@ -1525,6 +1525,112 @@ def transcript_violation_counts(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# RDF graph metrics over DERIVED triples (r5, SURVEY A20/D3): the TPC-H
+# customer→nation→region hierarchy becomes a deterministic edge list —
+# cust:<key> rdf:type ex:Customer / ex:locatedIn nation:<key>;
+# nation:<key> rdf:type ex:Nation / ex:partOf region:<key>; region:<key>
+# rdf:type ex:Region — so plain-SQL DuckDB oracles hash-match the
+# Dataset-groupby graph metrics (no spatial/graph extension needed).
+# Reference analogue: rdfGraph/profiler.py:79-98 (class distribution) and
+# :168-247 (degree distributions via networkx).
+
+
+def _tpch_triples(sf_dir: str) -> "ray.data.Dataset":
+    def cust(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").cast(pa.string())
+        nk = b.column("c_nationkey").cast(pa.string())
+        s = pc.binary_join_element_wise(
+            pa.array(["cust:"] * b.num_rows), ck, "")
+        nat = pc.binary_join_element_wise(
+            pa.array(["nation:"] * b.num_rows), nk, "")
+        return pa.table({
+            "subject": pa.concat_arrays([s.combine_chunks()] * 2),
+            "predicate": pa.array(["rdf:type"] * b.num_rows
+                                  + ["ex:locatedIn"] * b.num_rows),
+            "object": pa.concat_arrays(
+                [pa.array(["ex:Customer"] * b.num_rows),
+                 nat.combine_chunks()]),
+            "object_is_iri": pa.array([True] * (2 * b.num_rows)),
+        })
+
+    def nation(b: pa.Table) -> pa.Table:
+        nk = b.column("n_nationkey").cast(pa.string())
+        rk = b.column("n_regionkey").cast(pa.string())
+        s = pc.binary_join_element_wise(
+            pa.array(["nation:"] * b.num_rows), nk, "")
+        reg = pc.binary_join_element_wise(
+            pa.array(["region:"] * b.num_rows), rk, "")
+        return pa.table({
+            "subject": pa.concat_arrays([s.combine_chunks()] * 2),
+            "predicate": pa.array(["rdf:type"] * b.num_rows
+                                  + ["ex:partOf"] * b.num_rows),
+            "object": pa.concat_arrays(
+                [pa.array(["ex:Nation"] * b.num_rows),
+                 reg.combine_chunks()]),
+            "object_is_iri": pa.array([True] * (2 * b.num_rows)),
+        })
+
+    def region(b: pa.Table) -> pa.Table:
+        rk = b.column("r_regionkey").cast(pa.string())
+        s = pc.binary_join_element_wise(
+            pa.array(["region:"] * b.num_rows), rk, "")
+        return pa.table({
+            "subject": s,
+            "predicate": pa.array(["rdf:type"] * b.num_rows),
+            "object": pa.array(["ex:Region"] * b.num_rows),
+            "object_is_iri": pa.array([True] * b.num_rows),
+        })
+
+    return (_read(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_nationkey"])
+            .map_batches(cust, batch_format="pyarrow")
+            .union(_read(sf_dir, "nation")
+                   .select_columns(["n_nationkey", "n_regionkey"])
+                   .map_batches(nation, batch_format="pyarrow"))
+            .union(_read(sf_dir, "region").select_columns(["r_regionkey"])
+                   .map_batches(region, batch_format="pyarrow")))
+
+
+def rdf_class_distribution_tpch(sf_dir: str) -> pa.Table:
+    """A20 class distribution: filter rdf:type → distributed
+    groupby(object) count → sort desc (ties by name)."""
+    ds = _tpch_triples(sf_dir)
+    counts = (ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("predicate"), "rdf:type")),
+        batch_format="pyarrow")
+        .groupby("object").count()
+        .to_pandas())
+    counts = counts.rename(columns={"object": "class_name",
+                                    "count()": "count"})
+    counts = counts.sort_values(["count", "class_name"],
+                                ascending=[False, True], kind="stable")
+    return pa.Table.from_pandas(counts.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def rdf_node_degrees_tpch(sf_dir: str) -> pa.Table:
+    """A20 degree metrics: per-node out/in/total degree over the derived
+    triples via distributed groupby counts; zero-degree sides are
+    explicit (MultiDiGraph semantics). The driver only ever touches the
+    REDUCED per-node counts (O(#nodes)), never the edge list."""
+    ds = _tpch_triples(sf_dir)
+    out_c = ds.groupby("subject").count().to_pandas()
+    in_c = ds.groupby("object").count().to_pandas()
+    out_map = dict(zip(out_c["subject"], out_c["count()"]))
+    in_map = dict(zip(in_c["object"], in_c["count()"]))
+    nodes = sorted(set(out_map) | set(in_map))
+    out_deg = [int(out_map.get(v, 0)) for v in nodes]
+    in_deg = [int(in_map.get(v, 0)) for v in nodes]
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "out_degree": pa.array(out_deg, pa.int64()),
+        "in_degree": pa.array(in_deg, pa.int64()),
+        "degree": pa.array([a + b for a, b in zip(out_deg, in_deg)],
+                           pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 
 
 QUERIES = {
@@ -1571,6 +1677,8 @@ QUERIES = {
     "knn_embeddings_ivf": knn_embeddings_ivf,
     "knn_embeddings_ivf_exhaustive": knn_embeddings_ivf_exhaustive,
     "geometry_profile_events": geometry_profile_events,
+    "rdf_class_distribution_tpch": rdf_class_distribution_tpch,
+    "rdf_node_degrees_tpch": rdf_node_degrees_tpch,
     "token_counts_documents": token_counts_documents,
     "char_counts_documents": char_counts_documents,
     "fingerprint_documents": fingerprint_documents,
@@ -1967,6 +2075,30 @@ ORACLE_SQL = {
         "ROUND(AVG(CASE WHEN geom_type = 'Point' THEN y ELSE y + h / 2 END) "
         "+ 1e-9, 4) AS avg_cy "
         "FROM g GROUP BY geom_type ORDER BY geom_type"),
+    "rdf_class_distribution_tpch": (
+        "SELECT class_name, count FROM ("
+        "SELECT 'ex:Customer' AS class_name, COUNT(*) AS count "
+        "FROM customer "
+        "UNION ALL SELECT 'ex:Nation', COUNT(*) FROM nation "
+        "UNION ALL SELECT 'ex:Region', COUNT(*) FROM region) "
+        "ORDER BY count DESC, class_name"),
+    "rdf_node_degrees_tpch": (
+        "SELECT node, out_degree, in_degree, "
+        "out_degree + in_degree AS degree FROM ("
+        "SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS node, "
+        "CAST(2 AS BIGINT) AS out_degree, CAST(0 AS BIGINT) AS in_degree "
+        "FROM customer "
+        "UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 2, "
+        "(SELECT COUNT(*) FROM customer c "
+        "WHERE c.c_nationkey = n.n_nationkey) FROM nation n "
+        "UNION ALL SELECT 'region:' || CAST(r_regionkey AS VARCHAR), 1, "
+        "(SELECT COUNT(*) FROM nation n2 "
+        "WHERE n2.n_regionkey = r.r_regionkey) FROM region r "
+        "UNION ALL SELECT 'ex:Customer', 0, "
+        "(SELECT COUNT(*) FROM customer) "
+        "UNION ALL SELECT 'ex:Nation', 0, (SELECT COUNT(*) FROM nation) "
+        "UNION ALL SELECT 'ex:Region', 0, (SELECT COUNT(*) FROM region)) "
+        "ORDER BY node"),
     "token_counts_documents": (
         "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
