@@ -1630,6 +1630,34 @@ def rdf_node_degrees_tpch(sf_dir: str) -> pa.Table:
     })
 
 
+def raster_band_stats_vista(sf_dir: str) -> pa.Table:
+    """VISTA raster profile e2e (r5, SURVEY S8/A19/A22): a deterministic
+    synthetic .rhd/.ras pair (seeded; binary payloads — inherently
+    non-SQL, so rows-only) becomes a one-row-per-image Dataset, and the
+    distributed per-image partials merge into per-image LAI band stats.
+    Returned as one row per image for the rows-only check; exactness vs
+    pandas-describe is pinned by tests/test_raster.py."""
+    from ..functions.raster import build_vista
+    from .raster import profile_raster_dataset, vista_to_table
+
+    rhd, ras = build_vista(n_images=6, rows=48, cols=64, seed=2023)
+    ds = ray.data.from_arrow(vista_to_table(rhd, ras, name="vista"))
+    prof = profile_raster_dataset(ds)
+    rows = []
+    for v in prof["variables"]:
+        band = v["bands"][0]
+        rows.append({
+            "name": v["name"], "date": v["date"],
+            "count": band["count"],
+            "average": _round(band["average"]),
+            "variance": _round(band["variance"]),
+            "vmin": _round(band["min"]), "vmax": _round(band["max"]),
+            "lai_pct": _round(band["no_data_distribution"][0]["percentage"]),
+        })
+    import pandas as pd
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1679,6 +1707,7 @@ QUERIES = {
     "geometry_profile_events": geometry_profile_events,
     "rdf_class_distribution_tpch": rdf_class_distribution_tpch,
     "rdf_node_degrees_tpch": rdf_node_degrees_tpch,
+    "raster_band_stats_vista": raster_band_stats_vista,
     "token_counts_documents": token_counts_documents,
     "char_counts_documents": char_counts_documents,
     "fingerprint_documents": fingerprint_documents,
