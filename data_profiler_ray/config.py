@@ -25,7 +25,7 @@ class ProfileConfig:
     merge_shards: int = 32                 # tree-reduction fan-in before driver merge
     types_dict: dict[str, str] | None = None  # user override of detected types
     geometry_columns: list[str] | None = None  # WKT columns → GeometryAccumulator
-    geometry_crs: str = "EPSG:4326"        # recorded only; no reprojection (gap)
+    geometry_crs: str = "EPSG:4326"        # EPSG:326xx/327xx reproject (r5)
 
 
 @dataclass

@@ -7,10 +7,11 @@ per-geometry bbox / centroid / shoelace area / path length, sampled
 points, and a monotone-chain convex hull over the sampled point cloud.
 
 Scope (VERDICT r4 item 5): 2-D POINT / LINESTRING / POLYGON (+ MULTI*
-variants, holes included). CRS REPROJECTION IS A DOCUMENTED GAP — the
-reference reprojects to a UTM zone before measuring area/length
-(geometry.py:149-170); here stats are computed in the column's native
-coordinates and the recorded ``crs`` is informational only. Z/M
+variants, holes included). CRS (r5): UTM columns (EPSG:326xx/327xx)
+reproject to EPSG:4326 via the pure-numpy Krüger series in
+``functions/crs.py`` before stats — the analogue of the reference's
+``to_crs`` step (geometry.py:89-96,149-170); EPSG:4326 passes through,
+any other projected CRS raises (pyproj-class scope, documented). Z/M
 coordinates and GEOMETRYCOLLECTION raise ValueError.
 
 Formulas are the public standards: shoelace signed area and Green's-
@@ -150,6 +151,22 @@ def _path_length(c: np.ndarray, close: bool) -> float:
     if close and not np.array_equal(c[0], c[-1]):
         total += float(np.sqrt(((c[-1] - c[0]) ** 2).sum()))
     return total
+
+
+def reproject_parsed(parsed, crs: str):
+    """Reproject a parsed (gtype, parts) tree to EPSG:4326 (r5: closes
+    the CRS gap — the reference's ``to_crs('EPSG:4326')`` step,
+    geometry.py:89-96). UTM EPSG:326xx/327xx via the pure-numpy Krüger
+    series in ``functions/crs.py``; EPSG:4326 passes through."""
+    if not crs or crs.strip().upper() == "EPSG:4326":
+        return parsed
+    from .crs import reproject_to_wgs84
+    gtype, parts = parsed
+    out = []
+    for c, role in parts:
+        lon, lat = reproject_to_wgs84(c[:, 0], c[:, 1], crs)
+        out.append((np.column_stack([lon, lat]), role))
+    return gtype, out
 
 
 def geometry_stats(s: str, parsed=None) -> dict:

@@ -713,9 +713,11 @@ class GeometryAccumulator(StringAccumulator):
     - ``geom_type_distribution``, ``area_distribution`` /
       ``length_distribution`` 13-stat bundles (A13 block).
 
-    CRS reprojection is a DOCUMENTED GAP: stats are in native coordinates
-    and ``crs`` is carried through informationally (the reference
-    reprojects to a UTM zone first, geometry.py:149-170).
+    CRS handling (r5): ``crs='EPSG:326xx'/'327xx'`` (UTM) columns are
+    reprojected to EPSG:4326 before stats via the pure-numpy Krüger
+    series (``functions/crs.py``), matching the reference's
+    ``to_crs('EPSG:4326')`` step (geometry.py:89-96); other projected
+    CRS raise (pyproj-class scope, documented).
     """
 
     kind = "geometry"
@@ -738,7 +740,7 @@ class GeometryAccumulator(StringAccumulator):
 
     def update(self, arr) -> None:
         from ..functions.geometry import (geometry_stats, parse_wkt,
-                                          sample_points)
+                                          reproject_parsed, sample_points)
         arr = _combine_chunks(arr)
         if pa.types.is_dictionary(arr.type):
             arr = arr.cast(pa.string())
@@ -752,7 +754,7 @@ class GeometryAccumulator(StringAccumulator):
         pts = [self.hull_pts]
         for v in valid.to_pylist():
             try:
-                parsed = parse_wkt(v)
+                parsed = reproject_parsed(parse_wkt(v), self.crs)
                 st = geometry_stats(v, parsed=parsed)
                 pts.append(sample_points(v, parsed=parsed))
             except ValueError:
