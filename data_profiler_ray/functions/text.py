@@ -246,6 +246,7 @@ def tfidf_summary_batch(batch: pa.Table, text_col: str = "text",
 
 
 _ARANGE = np.arange(0, dtype=np.int64)
+_ARANGE32 = np.arange(0, dtype=np.int32)
 
 
 def _arange_i64(n: int) -> np.ndarray:
@@ -257,6 +258,17 @@ def _arange_i64(n: int) -> np.ndarray:
     if _ARANGE.size < n:
         _ARANGE = np.arange(max(n, 2 * _ARANGE.size), dtype=np.int64)
     return _ARANGE[:n]
+
+
+def _arange_i32(n: int) -> np.ndarray:
+    """int32 variant of :func:`_arange_i64` for per-batch index vectors —
+    a batch's byte count always fits int32 (blocks are tens of MB), and the
+    bandwidth-starved host pays double for int64 index traffic (the dst
+    scatter vector of the word-hash kernel alone is O(batch bytes) · 8)."""
+    global _ARANGE32
+    if _ARANGE32.size < n:
+        _ARANGE32 = np.arange(max(n, 2 * _ARANGE32.size), dtype=np.int32)
+    return _ARANGE32[:n]
 
 
 def hash_string_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -337,14 +349,22 @@ def hash_string_array_words(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if total_w:
         wstart = np.concatenate([[0], np.cumsum(wlens)])[:-1]
         padded = np.zeros(total_w * 8, dtype=np.uint8)
-        # scatter each string's bytes to its word-aligned region
-        dst = (_arange_i64(raw.size)
-               + np.repeat(wstart * 8 - rel[:-1], lens))
+        # scatter each string's bytes to its word-aligned region; index
+        # vectors in int32 when they fit (they always do for real blocks) —
+        # halves the dominant O(bytes) repeat+scatter memory traffic
+        if total_w * 8 < 2**31 and raw.size < 2**31:
+            dst = (_arange_i32(raw.size)
+                   + np.repeat((wstart * 8 - rel[:-1]).astype(np.int32),
+                               lens))
+            exp = (np.repeat((wlens - 1 + wstart).astype(np.int32), wlens)
+                   - _arange_i32(total_w))
+        else:
+            dst = (_arange_i64(raw.size)
+                   + np.repeat(wstart * 8 - rel[:-1], lens))
+            exp = np.repeat(wlens - 1 + wstart, wlens) - _arange_i64(total_w)
         padded[dst] = raw
         words = padded.view(np.uint64)          # little-endian words
         pows = _hash_powers(int(wlens.max()))
-        # exp = (wlen-1) - (i - wstart) fused to ONE repeat + cached arange
-        exp = np.repeat(wlens - 1 + wstart, wlens) - _arange_i64(total_w)
         nonempty = wlens > 0
         with np.errstate(over="ignore"):
             terms = words * pows[exp]

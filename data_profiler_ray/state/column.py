@@ -155,6 +155,22 @@ class _DistinctMixin:
             except (TypeError, ValueError, pa.ArrowInvalid):
                 h = hash64(np.asarray(vals_arr.to_pylist(), dtype=object))
         self.hll.update_hashes(h)
+        if self.counter.overflowed:
+            # Post-overflow fast path: batch singletons are guaranteed
+            # casualties of the next Misra-Gries shrink (see
+            # TopKCounter.add_skipped) — account their weight and skip the
+            # to_pylist/dict build entirely. On a mostly-distinct text
+            # column this removes ~220 ms of the ~2.6 s per 24 MB block.
+            heavy = counts >= 2
+            n_heavy = int(np.count_nonzero(heavy))
+            if n_heavy < len(counts):
+                self.counter.add_skipped(int(counts[~heavy].sum()))
+                if n_heavy == 0:
+                    return
+                idx = np.flatnonzero(heavy)
+                vals_arr = vals_arr.take(pa.array(idx))
+                counts = counts[idx]
+                h = h[idx]
         key_cap = getattr(self, "_LONG_KEY", 0)
         vals = None
         if key_cap and (pa.types.is_string(t) or pa.types.is_large_string(t)):
@@ -548,10 +564,9 @@ class StringAccumulator(ColumnAccumulator, _DistinctMixin):
         in the >=0x80 bins and are ignored, matching the reference's ASCII
         coercion). Word boundaries come from whitespace-byte transitions.
         """
-        n_chars = pc.utf8_length(valid).to_numpy(zero_copy_only=False).astype(np.float64)
-        self.total_chars += int(n_chars.sum())
-        self.char_len.update(n_chars)
-        self.char_len_kll.update(n_chars)
+        n_chars_i = pc.utf8_length(valid).to_numpy(zero_copy_only=False)
+        self.total_chars += int(n_chars_i.sum())
+        self._update_compact(n_chars_i, self.char_len, self.char_len_kll)
 
         bin_arr = valid.cast(pa.large_binary())
         if isinstance(bin_arr, pa.ChunkedArray):
@@ -599,14 +614,38 @@ class StringAccumulator(ColumnAccumulator, _DistinctMixin):
             start_idx = np.flatnonzero(nonsp & prev_sp)
             end_idx = np.flatnonzero(nonsp & next_sp)
             if start_idx.size:
-                wl = (end_idx - start_idx + 1).astype(np.float64)
-                self.word_len.update(wl)
-                self.word_len_kll.update(wl)
+                wl = end_idx - start_idx + 1
+                self._update_compact(wl, self.word_len, self.word_len_kll)
             # words per value: word starts falling inside each value span
-            wc = np.diff(np.searchsorted(start_idx, rel_off)).astype(np.float64)
-            self.words_per_value.update(wc)
+            wc = np.diff(np.searchsorted(start_idx, rel_off))
+            self._update_compact(wc, self.words_per_value, None)
         else:
             self.words_per_value.update(np.zeros(len(bin_arr)))
+
+    @staticmethod
+    def _update_compact(ints: np.ndarray, moments, kll) -> None:
+        """Feed a non-negative small-integer stat vector (word/char lengths,
+        words-per-value) through its ``np.bincount`` histogram: the moments
+        and KLL weighted-update paths are exact for integer weights and turn
+        ~14 O(#rows) passes into O(#bins) — the single largest cost of the
+        text fold at the 2M-turn profile (425 ms/block for word lengths).
+        Falls back to the plain O(#rows) path for pathological value ranges
+        (a single multi-MB "word" would otherwise allocate max-value bins)."""
+        if ints.size == 0:
+            return
+        mx = int(ints.max())
+        if mx < 1_048_576:
+            hist = np.bincount(ints)
+            nz = np.flatnonzero(hist)
+            wts = hist[nz]
+            moments.update_weighted(nz, wts)
+            if kll is not None:
+                kll.update_weighted(nz, wts)
+        else:
+            f = ints.astype(np.float64)
+            moments.update(f)
+            if kll is not None:
+                kll.update(f)
 
     def merge(self, other: "StringAccumulator") -> None:
         self._merge_base(other)

@@ -68,6 +68,34 @@ class KLLSketch:
         self.levels[0] = np.concatenate([self.levels[0], values])
         self._compress()
 
+    def update_weighted(self, values: np.ndarray, weights: np.ndarray) -> None:
+        """Exact weighted insert: value ``i`` with integer weight ``w_i``
+        lands at level ``l`` for every set bit ``l`` of ``w_i`` (a level-l
+        item weighs ``2**l``), so the represented multiset equals the
+        expanded stream EXACTLY — ``quantile()`` before any compaction still
+        matches ``quantile_cont`` on the expanded data, and the profile fold
+        pays O(#bins · log w) instead of O(#rows) for small-integer columns
+        (word/char lengths fed from ``np.bincount``)."""
+        v = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.int64)
+        keep = np.isfinite(v) & (w > 0)
+        if not keep.all():
+            v = v[keep]
+            w = w[keep]
+        if v.size == 0:
+            return
+        self.n += int(w.sum())
+        bit = 0
+        wmax = int(w.max())
+        while (1 << bit) <= wmax:
+            sel = ((w >> bit) & 1).astype(bool)
+            if sel.any():
+                while len(self.levels) <= bit:
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[bit] = np.concatenate([self.levels[bit], v[sel]])
+            bit += 1
+        self._compress()
+
     def merge(self, other: "KLLSketch") -> None:
         self.n += other.n
         while len(self.levels) < len(other.levels):

@@ -55,6 +55,25 @@ class TopKCounter:
             self.counts = Counter(d)
         self._shrink()
 
+    def add_skipped(self, weight: int) -> None:
+        """Account weight folded PAST the counter (post-overflow batch
+        singletons): they join ``total`` and ``decremented`` so the
+        ``freq_distribution`` Other bucket stays exact, without ever
+        building their Python keys.
+
+        Sound because a batch singleton cannot survive the post-overflow
+        regime anyway: each wide batch brings >> cap-slack new keys, so the
+        very next ``_shrink`` decrement (≥1) erases every count-1 entry.
+        Skipping it up front is the same outcome minus the key build; the
+        Misra-Gries invariant (stored ≤ true, true − stored ≤ total
+        decrement) is preserved — survivors simply keep the decrement the
+        skipped singletons would have cost them, i.e. tighter counts. Only
+        a counter oscillating just above cap on a trickle of new keys would
+        have (transiently) kept such singletons before; post-overflow
+        count-1 state is approximate by contract either way."""
+        self.total += int(weight)
+        self.decremented += int(weight)
+
     def merge(self, other: "TopKCounter") -> None:
         self.counts.update(other.counts)
         self.total += other.total
