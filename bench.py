@@ -246,6 +246,24 @@ def _warm_page_cache(tdir: str) -> None:
                 pass
 
 
+def _dilution_probe() -> float:
+    """~1 s fixed single-thread workload timed right before the measured
+    run: the per-side control for hypervisor CYCLE DILUTION, the failure
+    mode steal accounting misses. Suite 10 (BASELINE.md) showed walls
+    1.3-2.5× the clean bands with ≤2 % steal and 7.7 busy cores — the
+    guest's vCPUs were busy but received ~half the physical cycles.
+    Elementwise numpy only (no BLAS → no hidden threading); compare a
+    side's probe_sec against the clean-window value to normalize its
+    wall before interpreting an efficiency pair."""
+    import numpy as np
+    x = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.time()
+    for _ in range(25):
+        x = np.sqrt(x * 1.000001 + 1.0)
+        x += np.sin(x)
+    return time.time() - t0
+
+
 def scaling_worker(num_cpus: int):
     _init_ray(num_cpus)
     _warmup()
@@ -263,11 +281,12 @@ def scaling_worker(num_cpus: int):
     out_root = "/dev/shm/dpr_scaling" if os.path.isdir("/dev/shm") else "/tmp"
     run_validation_job(f"{out_root}/warm_{num_cpus}",
                        n_turns=200_000, n_shards=16)
+    probe = _dilution_probe()
     res = run_validation_job(f"{out_root}/out_{num_cpus}",
                              n_turns=SCALING_TURNS, n_shards=SCALING_SHARDS)
     shutil.rmtree(out_root, ignore_errors=True)
     print("SCALING_RESULT " + json.dumps(
-        {"num_cpus": num_cpus,
+        {"num_cpus": num_cpus, "probe_sec": round(probe, 3),
          **{k: round(v, 4) for k, v in res.items()}}))
     import ray
     ray.shutdown()
@@ -321,7 +340,8 @@ def _run_scaling_worker(cpus: int) -> dict:
             f"rc={p.returncode}; stderr tail: {p.stderr[-2000:]}")
     res = json.loads(line[len("SCALING_RESULT "):])
     print(f"[scaling] cpus={cpus}: {res.get('seconds', '?')}s "
-          f"steal={res.get('steal_frac', 0):.3f}", file=sys.stderr)
+          f"steal={res.get('steal_frac', 0):.3f} "
+          f"probe={res.get('probe_sec', 0):.2f}", file=sys.stderr)
     return res
 
 
@@ -414,7 +434,9 @@ def scaling():
                       "cores_n": round(r_n.get("utilized_cores", 0), 2),
                       "cores_4n": round(r_4n.get("utilized_cores", 0), 2),
                       "steal_n": round(r_n.get("steal_frac", 0), 3),
-                      "steal_4n": round(r_4n.get("steal_frac", 0), 3)})
+                      "steal_4n": round(r_4n.get("steal_frac", 0), 3),
+                      "probe_n": r_n.get("probe_sec"),
+                      "probe_4n": r_4n.get("probe_sec")})
     med = sorted(p["efficiency"] for p in pairs)[len(pairs) // 2]
     out = {
         "metric": "scaling efficiency (N=2 → 4N=8 cpus, adjacent "

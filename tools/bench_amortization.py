@@ -67,6 +67,7 @@ def _worker(cpus: int, input_dir: str) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = ValidationConfig(constraints=ConstraintConfig(
         tool_registry=TOOL_REGISTRY), output_dir=out_dir)
+    probe = bench._dilution_probe()
     p0 = bench._proc_stat()
     t0 = time.time()
     s = run_validation(input_dir, cfg)
@@ -77,6 +78,7 @@ def _worker(cpus: int, input_dir: str) -> None:
     print("AMORT_RESULT " + json.dumps({
         "cpus": cpus, "rows": s["total_rows"], "seconds": round(dt, 3),
         "turns_per_sec": round(s["total_rows"] / dt, 1),
+        "probe_sec": round(probe, 3),
         "steal_frac": round((p1["steal"] - p0["steal"]) / total_j, 4)}))
     import ray
     ray.shutdown()
@@ -95,7 +97,8 @@ def _run(cpus: int, input_dir: str) -> dict:
                            f"rc={p.returncode}; stderr: {p.stderr[-1500:]}")
     res = json.loads(line[len("AMORT_RESULT "):])
     print(f"[amort] cpus={cpus} turns={res['rows']}: {res['seconds']}s "
-          f"steal={res['steal_frac']:.3f}", file=sys.stderr)
+          f"steal={res['steal_frac']:.3f} probe={res['probe_sec']:.2f}",
+          file=sys.stderr)
     return res
 
 
@@ -139,6 +142,8 @@ def main() -> None:
             row[label] = {"t2": r2["seconds"], "t8": r8["seconds"],
                           "steal2": r2["steal_frac"],
                           "steal8": r8["steal_frac"],
+                          "probe2": r2["probe_sec"],
+                          "probe8": r8["probe_sec"],
                           "efficiency": round(eff, 3)}
             print(f"[amort] round {r} {label}: eff={eff:.3f}",
                   file=sys.stderr)
