@@ -371,6 +371,12 @@ def scaling():
     # retries, and every raw attempt is recorded in ``all_attempts`` so
     # nothing is silently discarded.
     steal_max = float(os.environ.get("SCALING_STEAL_MAX", "0.05"))
+    # N of the N→4N pair (default 2→8). SCALING_N=1 measures 1→4: the
+    # same criterion instance, sized for windows where the hypervisor
+    # services ≤4 vCPUs at full per-core speed but dilutes 8 (suite 11's
+    # per-side probes: 2-cpu probe 0.7-1.9 s vs 8-cpu probe 2.7-3.2 s in
+    # the same minutes — the 8-vCPU configuration itself was throttled).
+    scaling_n = int(os.environ.get("SCALING_N", "2"))
     max_attempts = 6
     pair_runs, all_attempts, raw_attempts = [], [], []
     attempts = 0
@@ -380,8 +386,8 @@ def scaling():
         # the suite and discard the clean pairs already measured — record
         # the failed attempt and move on to the next one
         try:
-            r_n = _run_scaling_worker(2)
-            r_4n = _run_scaling_worker(8)
+            r_n = _run_scaling_worker(scaling_n)
+            r_4n = _run_scaling_worker(scaling_n * 4)
         except Exception as ex:  # noqa: BLE001 - record, don't lose pairs
             print(f"[scaling] pair attempt {attempts} failed: {ex}",
                   file=sys.stderr)
@@ -439,20 +445,25 @@ def scaling():
                       "probe_4n": r_4n.get("probe_sec")})
     med = sorted(p["efficiency"] for p in pairs)[len(pairs) // 2]
     out = {
-        "metric": "scaling efficiency (N=2 → 4N=8 cpus, adjacent "
-                  "fresh-process pairs, same input, median of 3)",
+        "metric": f"scaling efficiency (N={scaling_n} → "
+                  f"4N={scaling_n * 4} cpus, adjacent fresh-process "
+                  "pairs, same input, median of 3)",
         "value": med,
         "unit": "efficiency",
-        "pairs_2to8": pairs,
-        "pair_8to32": ({"t_n_sec": round(r8["seconds"], 3),
-                        "t_4n_sec": round(r32["seconds"], 3),
-                        "speedup": round(r8["seconds"] / r32["seconds"], 3),
-                        "efficiency": round(
-                            r8["seconds"] / r32["seconds"] / 4.0, 3)}
-                       if r32 is not None else {"error": "worker failed"}),
+        "scaling_n": scaling_n,
+        "pairs_n_to_4n": pairs,
+        f"pair_{scaling_n * 4}to32": (
+            {"t_n_sec": round(r8["seconds"], 3),
+             "t_4n_sec": round(r32["seconds"], 3),
+             "speedup": round(r8["seconds"] / r32["seconds"], 3),
+             "efficiency": round(r8["seconds"] / r32["seconds"]
+                                 / (32 / (scaling_n * 4)), 3)}
+            if r32 is not None else {"error": "worker failed"}),
         "turns_per_sec": {
-            "2": [round(a["turns_per_sec"], 1) for a, _ in pair_runs],
-            "8": [round(b["turns_per_sec"], 1) for _, b in pair_runs],
+            str(scaling_n): [round(a["turns_per_sec"], 1)
+                             for a, _ in pair_runs],
+            str(scaling_n * 4): [round(b["turns_per_sec"], 1)
+                                 for _, b in pair_runs],
             "32": (round(r32["turns_per_sec"], 1)
                    if r32 is not None else None)},
         "bench_turns": SCALING_TURNS,
