@@ -95,7 +95,8 @@ def run_validation_job(out_dir: str, n_turns: int | None = None,
         hz = 100
     p0 = _proc_stat()
     t0 = time.time()
-    s = run_validation(tdir, cfg)
+    with _DilutionSampler() as dil:
+        s = run_validation(tdir, cfg)
     dt = time.time() - t0
     p1 = _proc_stat()
     total_j = max(sum(p1.values()) - sum(p0.values()), 1)
@@ -103,7 +104,8 @@ def run_validation_job(out_dir: str, n_turns: int | None = None,
             "turns_per_sec": s["total_rows"] / dt,
             "utilized_cores": (p1["busy"] - p0["busy"]) / hz / dt,
             "steal_frac": (p1["steal"] - p0["steal"]) / total_j,
-            "iowait_frac": (p1["iowait"] - p0["iowait"]) / total_j}
+            "iowait_frac": (p1["iowait"] - p0["iowait"]) / total_j,
+            **dil.stats()}
 
 
 def main() -> dict:
@@ -117,6 +119,9 @@ def main() -> dict:
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     rep_steal: dict[str, list[float]] = {}
+    # per-rep mid-run dilution-tick medians (ms; clean ≈ 15-18 on this
+    # box): the cycle-delivery instrument steal accounting misses
+    rep_dilution: dict[str, list[float | None]] = {}
     # VERDICT r4 item 2: the graded artifact must be self-interpreting —
     # each rep records the /proc/stat steal fraction of ITS OWN timed
     # window, and a rep whose window was hypervisor-contended
@@ -125,17 +130,20 @@ def main() -> dict:
     steal_max = float(os.environ.get("BENCH_STEAL_MAX", "0.05"))
     extra_attempts = int(os.environ.get("BENCH_STEAL_RETRIES", "3"))
 
-    def _steal_timed(fn) -> tuple[float, float]:
+    def _steal_timed(fn) -> tuple[float, float, float | None]:
         p0 = _proc_stat()
         t0 = time.time()
-        fn()
+        with _DilutionSampler(period=2.0) as dil:
+            fn()
         dt = time.time() - t0
         p1 = _proc_stat()
         total_j = max(sum(p1.values()) - sum(p0.values()), 1)
-        return round(dt, 3), round((p1["steal"] - p0["steal"]) / total_j, 4)
+        return (round(dt, 3),
+                round((p1["steal"] - p0["steal"]) / total_j, 4),
+                dil.stats()["dilution_med_ms"])
 
     def timed(name, fn):
-        samples: list[tuple[float, float]] = []
+        samples: list[tuple[float, float, float | None]] = []
         budget = BENCH_REPS + extra_attempts
         while len([s for s in samples if s[1] <= steal_max]) < BENCH_REPS \
                 and len(samples) < budget:
@@ -145,6 +153,7 @@ def main() -> dict:
             clean = sorted(samples, key=lambda s: s[1])[:BENCH_REPS]
         all_reps[name] = [s[0] for s in samples]
         rep_steal[name] = [s[1] for s in samples]
+        rep_dilution[name] = [s[2] for s in samples]
         timings[name] = sorted(s[0] for s in clean)[len(clean) // 2]
 
     _warmup()
@@ -158,6 +167,8 @@ def main() -> dict:
     all_reps["validate_transcripts"] = [round(v["seconds"], 3) for v in vals]
     rep_steal["validate_transcripts"] = [round(v["steal_frac"], 4)
                                          for v in vals]
+    rep_dilution["validate_transcripts"] = [v.get("dilution_med_ms")
+                                            for v in vals]
     clean_vals = [v for v in vals if v["steal_frac"] <= steal_max]
     if len(clean_vals) < BENCH_REPS:
         clean_vals = sorted(vals, key=lambda v: v["steal_frac"])[:BENCH_REPS]
@@ -203,6 +214,7 @@ def main() -> dict:
         "bench_reps": BENCH_REPS,
         "rep_samples": all_reps,
         "rep_steal": rep_steal,
+        "rep_dilution_med_ms": rep_dilution,
         "steal_max": steal_max,
         "max_rep_steal": round(max((max(v) for v in rep_steal.values()
                                     if v), default=0.0), 4),
@@ -246,6 +258,63 @@ def _warm_page_cache(tdir: str) -> None:
                 pass
 
 
+class _DilutionSampler:
+    """Samples per-core DELIVERED speed during a timed window.
+
+    A daemon thread runs a fixed ~15 ms single-thread elementwise-numpy
+    tick every ``period`` seconds (≈0.4 % of one core — negligible next
+    to the measured job) and records each tick's duration. The pre-run
+    `_dilution_probe` catches a diluted window only at its start; suite
+    12 attempt 3 showed a 1-cpu wall 1.5× the clean band with a clean
+    pre-run probe — the throttling arrived mid-run. The tick SERIES
+    makes the window's cycle delivery visible across the whole run:
+    clean tick ≈ 15-18 ms on this box; a median 2-3× that means the
+    hypervisor halved per-core cycles regardless of what steal says.
+    Reported as median/p90 milliseconds in the result JSON."""
+
+    def __init__(self, period: float = 4.0):
+        self.period = period
+        self.samples: list[float] = []
+        self._stop = None
+
+    @staticmethod
+    def _tick() -> float:
+        import numpy as np
+        x = np.arange(150_000, dtype=np.float64)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            x = np.sqrt(x * 1.000001 + 1.0)
+            x += np.sin(x)
+        return time.perf_counter() - t0
+
+    def __enter__(self):
+        import threading
+        self._stop = threading.Event()
+
+        def _loop():
+            while not self._stop.wait(self.period):
+                self.samples.append(self._tick())
+        self._thread = threading.Thread(target=_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        return False
+
+    def stats(self) -> dict:
+        if not self.samples:
+            return {"dilution_med_ms": None, "dilution_p90_ms": None,
+                    "dilution_n": 0}
+        s = sorted(self.samples)
+        return {
+            "dilution_med_ms": round(s[len(s) // 2] * 1000, 1),
+            "dilution_p90_ms": round(s[min(len(s) - 1,
+                                           int(len(s) * 0.9))] * 1000, 1),
+            "dilution_n": len(s)}
+
+
 def _dilution_probe() -> float:
     """~1 s fixed single-thread workload timed right before the measured
     run: the per-side control for hypervisor CYCLE DILUTION, the failure
@@ -287,7 +356,8 @@ def scaling_worker(num_cpus: int):
     shutil.rmtree(out_root, ignore_errors=True)
     print("SCALING_RESULT " + json.dumps(
         {"num_cpus": num_cpus, "probe_sec": round(probe, 3),
-         **{k: round(v, 4) for k, v in res.items()}}))
+         **{k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in res.items()}}))
     import ray
     ray.shutdown()
 
