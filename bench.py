@@ -133,7 +133,7 @@ def main() -> dict:
     def _steal_timed(fn) -> tuple[float, float, float | None]:
         p0 = _proc_stat()
         t0 = time.time()
-        with _DilutionSampler(period=2.0) as dil:
+        with _DilutionSampler(period=1.0) as dil:
             fn()
         dt = time.time() - t0
         p1 = _proc_stat()
