@@ -512,7 +512,9 @@ def scaling():
                       "steal_n": round(r_n.get("steal_frac", 0), 3),
                       "steal_4n": round(r_4n.get("steal_frac", 0), 3),
                       "probe_n": r_n.get("probe_sec"),
-                      "probe_4n": r_4n.get("probe_sec")})
+                      "probe_4n": r_4n.get("probe_sec"),
+                      "dilution_n_ms": r_n.get("dilution_med_ms"),
+                      "dilution_4n_ms": r_4n.get("dilution_med_ms")})
     med = sorted(p["efficiency"] for p in pairs)[len(pairs) // 2]
     out = {
         "metric": f"scaling efficiency (N={scaling_n} → "
